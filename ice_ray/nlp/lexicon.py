@@ -1,0 +1,107 @@
+"""Closed vocabularies for the deterministic NLP chain and the synthetic
+transcripts corpus.
+
+The reference loads JET model files (lexicon, HMM POS, ME name tagger —
+src/props/parseprops:1-22) once per process; we replace them with
+deterministic dictionaries built once per annotator actor (__init__), the
+actor-pool analog of JetTest.initializeFromConfig
+(IcePreprocessor.java:175).
+"""
+
+from __future__ import annotations
+
+FIRST_NAMES = [
+    "Fred", "Karl", "Mary", "Alice", "John", "Susan", "David", "Nancy",
+    "Peter", "Laura", "Tom", "Emma", "Henry", "Grace", "Oscar", "Julia",
+]
+
+LAST_NAMES = [
+    "Smith", "Jones", "Brown", "Taylor", "Wilson", "Davis", "Clark", "Lewis",
+    "Walker", "Hall", "Young", "King", "Wright", "Scott", "Green", "Baker",
+]
+
+CITIES = [
+    "Chicago", "Berlin", "Paris", "London", "Madrid", "Boston", "Denver",
+    "Austin", "Seattle", "Atlanta", "Dallas", "Houston", "Phoenix",
+    "Portland", "Miami", "Detroit",
+]
+
+COUNTRIES = [
+    "Germany", "France", "Spain", "England", "Canada", "Brazil",
+    "Japan", "Italy", "Poland", "Norway", "Sweden", "Egypt",
+]
+
+ORGS = [
+    "Acme Corp", "Globex", "Initech", "Contoso", "Fabrikam", "Northwind",
+    "Innotech", "Vertex Labs", "Orion Group", "Zenith Media",
+]
+
+# the reference's running domain is drug-related sets (FestTest.java:27-120
+# builds a "drug-set"); small closed set of common-noun entities
+DRUGS = ["heroin", "cocaine", "morphine", "opium"]
+
+# verbs the heuristic POS tagger recognizes, keyed by base form
+VERB_BASES = {
+    "live", "visit", "die", "join", "promote", "work", "meet", "shoot",
+    "move", "travel", "acquire", "announce", "say",
+    "buy", "sell", "give", "seize", "pay", "hire",
+    "report", "leave",
+}
+
+AUX_VERBS = {
+    "is", "are", "was", "were", "am", "be", "been", "being",
+    "has", "have", "had", "will", "would", "did", "does", "do",
+}
+
+PREPOSITIONS = {
+    "in", "on", "at", "of", "from", "with", "by", "for", "near",
+    "about", "into", "over", "under", "after", "before", "to",
+}
+
+DETERMINERS = {"a", "an", "the", "this", "that", "these", "those"}
+
+CONJUNCTIONS = {"and", "or"}
+
+ADVERBS = {"yesterday", "today", "tomorrow", "recently", "quickly", "soon"}
+
+TIME_WORDS = {"yesterday", "today", "tomorrow"}
+
+NUMBER_MULTIPLIERS = {"thousand": 1_000, "million": 1_000_000, "billion": 1_000_000_000}
+
+
+def _phrase_key(phrase: str) -> tuple[str, ...]:
+    return tuple(phrase.split(" "))
+
+
+def build_entity_dict(extra_sets: dict[str, list[str]] | None = None) -> dict[tuple[str, ...], str]:
+    """token-tuple → entity type; the onoma/EDT-type dictionary analog
+    (models/JetEngineBuilder.java:140-156).  ``extra_sets`` lets user entity
+    sets (A2/A3) extend the dictionary — type → list of phrases.
+    """
+    d: dict[tuple[str, ...], str] = {}
+    for f in FIRST_NAMES:
+        for l in LAST_NAMES:
+            d[(f, l)] = "PERSON"
+    # single-token surnames & first names resolve to PERSON too (linker
+    # later canonicalizes them to the full form seen in the conversation)
+    for l in LAST_NAMES:
+        d[(l,)] = "PERSON"
+    for f in FIRST_NAMES:
+        d[(f,)] = "PERSON"
+    for c in CITIES:
+        d[(c,)] = "GPE"
+    for c in COUNTRIES:
+        d[(c,)] = "GPE"
+    for o in ORGS:
+        d[_phrase_key(o)] = "ORGANIZATION"
+    for drug in DRUGS:
+        d[(drug,)] = "DRUGS"
+    if extra_sets:
+        for etype, phrases in extra_sets.items():
+            for p in phrases:
+                d[_phrase_key(p)] = etype
+    return d
+
+
+def max_entity_phrase_len(entity_dict: dict[tuple[str, ...], str]) -> int:
+    return max((len(k) for k in entity_dict), default=1)
