@@ -67,9 +67,9 @@ class PipelineConfig:
     """
 
     # stage sizing
-    annotator_concurrency: tuple[int, int] = (2, 8)
+    annotator_concurrency: tuple[int, int] = (1, 8)
     annotator_batch_size: int = 1024
-    tagger_concurrency: tuple[int, int] = (2, 8)
+    tagger_concurrency: tuple[int, int] = (1, 4)
     tagger_batch_size: int = 2048
     # wide-step layout
     num_edge_partitions: int = 64          # hash(subj) partition count for the edge table

@@ -1,0 +1,196 @@
+"""The flagship pipeline: transcripts → (subj, pred, obj) edge table.
+
+Ray shape (SURVEY.md §3.3): ``read_parquet → map_batches(AnnotateExtract
+actor pool) → map_batches(Tagger, broadcast rules) → conv-scoped linking →
+global canonicalization → exact dedup groupby(subj,pred,obj) → partitioned
+parquet by hash(subj) + per-partition manifest``.
+
+Scale notes:
+- the annotate+extract stage is fused so annotation list-columns never hit
+  the object store in the headline path;
+- dedup pre-aggregates inside map_batches (per-batch combiner) before the
+  groupby so the all-to-all shuffle moves one row per distinct triple per
+  batch, not one per occurrence;
+- the expensive phase checkpoints raw edges per input-shard group
+  (state/manifest.py); the global phase (link/canonicalize/dedup) reruns
+  cheaply over edges only.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from ..config import PipelineConfig
+from ..sources.models import DEFAULT_RELATION_RULES
+from ..stages.annotator import AnnotateExtract
+from ..stages.linker import (
+    CanonicalRewriter,
+    build_canonical_map,
+    link_edges_by_conversation,
+)
+from ..stages.tagger import Tagger
+from ..state.manifest import Manifest, fingerprint_files, fingerprint_params
+
+
+def extract_paths(transcripts: "ray.data.Dataset",
+                  cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or PipelineConfig()
+    return transcripts.map_batches(
+        AnnotateExtract,
+        fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions},
+        batch_format="pyarrow",
+        batch_size=cfg.annotator_batch_size,
+        concurrency=cfg.annotator_concurrency,
+    )
+
+
+def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
+                 cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+    cfg = cfg or PipelineConfig()
+    rules = rules if rules is not None else DEFAULT_RELATION_RULES
+    rules_ref = ray.put(rules)  # broadcast once, fetched per actor __init__
+    return paths.map_batches(
+        Tagger,
+        fn_constructor_kwargs={"rules_ref": rules_ref, "soft": cfg.soft_match},
+        batch_format="pyarrow",
+        batch_size=cfg.tagger_batch_size,
+        concurrency=cfg.tagger_concurrency,
+    )
+
+
+def _partial_dedup(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: one row per distinct (subj,pred,obj) with a
+    partial weight and min provenance key (G1/G2 with pinned ordering)."""
+    src = pc.binary_join_element_wise(
+        batch.column("conv_id"),
+        pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()), 9, "0"),
+        "#")
+    t = batch.append_column("src_key", src)
+    return t.group_by(["subj", "pred", "obj", "subj_type", "obj_type"]).aggregate(
+        [("src_key", "min"), ("subj", "count")]
+    ).rename_columns(["subj", "pred", "obj", "subj_type", "obj_type",
+                      "src_key_min", "weight"])
+
+
+def dedup_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Exact dedup: groupby(subj,pred,obj) → weight + first provenance
+    (deterministic ``min_by(turn_order_key)``, SURVEY §4 ordering note)."""
+    partial = edges.map_batches(_partial_dedup, batch_format="pyarrow")
+    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("weight", alias_name="weight"),
+        Min("src_key_min", alias_name="first_src"),
+        Min("subj_type", alias_name="subj_type"),
+        Min("obj_type", alias_name="obj_type"),
+    )
+
+    def split_src(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("first_src"), "#")
+        conv = pc.list_element(parts, 0)
+        tidx = pc.cast(pc.list_element(parts, 1), pa.int32())
+        return (batch.append_column("conv_id", conv)
+                     .append_column("turn_idx", tidx)
+                     .drop_columns(["first_src"]))
+
+    return agg.map_batches(split_src, batch_format="pyarrow")
+
+
+def canonicalize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Conversation-scoped surname linking, then global surface
+    canonicalization through a broadcast map."""
+    # edges are small relative to the turn input; materializing here keeps
+    # the expensive annotate+extract stage from executing twice (once for
+    # the canonical map, once for the rewrite)
+    linked = link_edges_by_conversation(edges).materialize()
+    canon = build_canonical_map(linked)
+    canon_ref = ray.put(canon)
+    return linked.map_batches(
+        CanonicalRewriter,
+        fn_constructor_kwargs={"canon_ref": canon_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+
+def build_kg(transcripts: "ray.data.Dataset",
+             rules: dict[str, str] | None = None,
+             cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+    """transcripts → deduplicated canonical edge dataset (lazy)."""
+    cfg = cfg or PipelineConfig()
+    paths = extract_paths(transcripts, cfg)
+    edges = decode_edges(paths, rules, cfg)
+    edges = canonicalize_edges(edges)
+    return dedup_edges(edges)
+
+
+def _add_pkey(batch: pa.Table, num_partitions: int) -> pa.Table:
+    pk = [zlib.crc32(s.encode()) % num_partitions
+          for s in batch.column("subj").to_pylist()]
+    return batch.append_column("pkey", pa.array(pk, pa.int32()))
+
+
+def write_edges(edges: "ray.data.Dataset", out_dir: str,
+                num_partitions: int = 64,
+                fingerprint: str = "") -> dict:
+    """Write the edge table partitioned by ``pkey = hash(subj) % P`` (the
+    north rule's subject-hash layout) plus a per-partition manifest with
+    triple counts (lineage metrics)."""
+    with_pkey = edges.map_batches(_add_pkey, batch_format="pyarrow",
+                                  fn_kwargs={"num_partitions": num_partitions})
+    with_pkey.write_parquet(os.path.join(out_dir, "edges"),
+                            partition_cols=["pkey"], mode="overwrite")
+    counts = (ray.data.read_parquet(os.path.join(out_dir, "edges"))
+              .groupby("pkey").count().to_pandas())
+    man = Manifest(os.path.join(out_dir, "edges_manifest.json"))
+    for pk, n in zip(counts["pkey"], counts["count()"]):
+        man.mark_done(f"pkey={pk}", fingerprint, int(n))
+    return {"partitions": len(counts), "triples": int(counts["count()"].sum())}
+
+
+def run_kg_job(input_files: list[str], out_dir: str,
+               rules: dict[str, str] | None = None,
+               cfg: PipelineConfig | None = None,
+               group_size: int = 8, resume: bool = True) -> dict:
+    """Resumable end-to-end job.
+
+    Phase A (expensive, per input-shard group): extract+decode → raw-edge
+    checkpoint under ``raw_edges/group=<i>``; groups whose input
+    fingerprint matches the manifest are skipped on rerun.
+    Phase B (cheap, global over edges): link → canonicalize → dedup →
+    hash-partitioned final write.
+    """
+    cfg = cfg or PipelineConfig()
+    rules = rules if rules is not None else DEFAULT_RELATION_RULES
+    param_fp = fingerprint_params(rules=sorted(rules.items()),
+                                  mi=cfg.max_intervening_mentions,
+                                  soft=cfg.soft_match)
+    man = Manifest(os.path.join(out_dir, "raw_edges_manifest.json"))
+    groups = [sorted(input_files)[i:i + group_size]
+              for i in range(0, len(input_files), group_size)]
+    skipped = 0
+    for gi, files in enumerate(groups):
+        gid = f"group={gi:05d}"
+        fp = fingerprint_files(files) + param_fp
+        if resume and man.is_done(gid, fp):
+            skipped += 1
+            continue
+        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        edges = decode_edges(extract_paths(ds, cfg), rules, cfg)
+        gdir = os.path.join(out_dir, "raw_edges", gid)
+        edges.write_parquet(gdir, mode="overwrite")
+        n = ray.data.read_parquet(gdir).count()
+        man.mark_done(gid, fp, n)
+    raw = ray.data.read_parquet(os.path.join(out_dir, "raw_edges"))
+    final = dedup_edges(canonicalize_edges(raw))
+    stats = write_edges(final, out_dir, cfg.num_edge_partitions,
+                        fingerprint=param_fp)
+    stats.update({"groups": len(groups), "groups_skipped": skipped,
+                  "raw_edges": man.total_rows()})
+    return stats

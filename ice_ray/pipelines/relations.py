@@ -1,0 +1,108 @@
+"""Path/tree count pipelines — the `findPhrases` wide steps
+(SURVEY.md §3.2; models/DepPaths.java:543-583 writePaths).
+
+- ``path_type_counts``: groupby(typed_path) → count + first-wins repr /
+  example with **pinned ordering** (min turn key), replacing the
+  reference's docList-order ``sourceDict``/``linearizationDict``
+  first-wins maps (DepPaths.java:692-727) with a deterministic
+  ``min_by((conv_id, turn_idx))`` (SURVEY §4 "Ordering/determinism").
+- ``path_instance_counts``: groupby(instance key) → count
+  (relationInstanceCounts, DepPaths.java:386).
+- ``rank_against_background``: f·log f / f' ratio score vs a background
+  corpus (utils/Ratio.java:40-50, J2) + descending sort (numsort, K1).
+
+Each stage pre-aggregates per batch before the shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+
+def _src_key(batch: pa.Table) -> pa.ChunkedArray:
+    return pc.binary_join_element_wise(
+        batch.column("conv_id"),
+        pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()), 9, "0"),
+        "#")
+
+
+def _partial_type_counts(batch: pa.Table) -> pa.Table:
+    t = batch.append_column("src_key", _src_key(batch))
+    # first-wins payload rides along as "<src_key>|repr ==> example"
+    payload = pc.binary_join_element_wise(
+        t.column("src_key"), t.column("repr"), t.column("example"), "\x01")
+    t = t.append_column("payload", payload)
+    g = t.group_by(["typed_path"]).aggregate(
+        [("typed_path", "count"), ("payload", "min")])
+    return g.rename_columns(["typed_path", "n", "payload_min"])
+
+
+def path_type_counts(paths: "ray.data.Dataset",
+                     min_freq: int = 1) -> "ray.data.Dataset":
+    """→ (typed_path, count, repr, example) — the RelationTypes +
+    RelationRepr tables in one dataset."""
+    partial = paths.map_batches(_partial_type_counts, batch_format="pyarrow")
+    agg = partial.groupby("typed_path").aggregate(
+        Sum("n", alias_name="count"),
+        Min("payload_min", alias_name="payload"),
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("payload"), "\x01")
+        out = (batch
+               .append_column("repr", pc.list_element(parts, 1))
+               .append_column("example", pc.list_element(parts, 2))
+               .drop_columns(["payload"]))
+        if min_freq > 1:
+            out = out.filter(pc.greater_equal(out["count"], min_freq))
+        return out
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+def _partial_key_counts(col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([col]).aggregate([(col, "count")])
+        return g.rename_columns([col, "n"])
+    return fn
+
+
+def key_counts(ds: "ray.data.Dataset", col: str,
+               alias: str = "count") -> "ray.data.Dataset":
+    """Generic pre-aggregated groupby(col).count() (G1/G5)."""
+    partial = ds.map_batches(_partial_key_counts(col), batch_format="pyarrow")
+    return partial.groupby(col).aggregate(Sum("n", alias_name=alias))
+
+
+def rank_against_background(fg_counts: "ray.data.Dataset",
+                            bg_counts: "ray.data.Dataset",
+                            key: str = "typed_path",
+                            count_col: str = "count") -> "ray.data.Dataset":
+    """Ratio score ``(f+1)/(f'+1) * ln(f+1)`` (utils/Ratio.java:44-50,
+    add-one on both sides, missing background → 1), sorted descending.
+    The background side is broadcast (small after aggregation)."""
+    import ray
+
+    bg_map = {r[key]: r[count_col] for r in bg_counts.iter_rows()}
+    bg_ref = ray.put(bg_map)
+
+    class Scorer:
+        def __init__(self):
+            self.bg = ray.get(bg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_pylist()
+            f1 = [c + 1 for c in batch.column(count_col).to_pylist()]
+            f2 = [self.bg.get(k, 0) + 1 for k in keys]
+            score = [a / b * math.log(a) for a, b in zip(f1, f2)]
+            return batch.append_column("score", pa.array(score, pa.float64()))
+
+    return (fg_counts
+            .map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+            .sort("score", descending=True))

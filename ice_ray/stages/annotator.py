@@ -1,0 +1,136 @@
+"""Annotator and fused annotate+extract actor-pool stages.
+
+The actor-pool analog of the per-process JET model load (A1,
+IcePreprocessor.java:175): dictionaries are built once in ``__init__``;
+``__call__`` processes one zero-copy Arrow batch.  Use
+
+    ds.map_batches(Annotator, batch_format="pyarrow",
+                   batch_size=cfg.annotator_batch_size,
+                   concurrency=cfg.annotator_concurrency)
+
+``AnnotateExtract`` fuses the NLP chain with path extraction so the
+headline pipeline never materializes the (wide) annotation list-columns —
+only path rows leave the stage.  The standalone ``Annotator`` exists for
+the cached two-phase layout (S4/S5 annotation-cache analog).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..core.annotate import annotate_text
+from ..core.extract import extract_paths_from_turn
+from ..nlp.lexicon import build_entity_dict, max_entity_phrase_len
+
+_I32 = pa.int32()
+
+TOKENS_T = pa.list_(pa.struct(
+    [("start", _I32), ("end", _I32), ("word", pa.string()), ("pos", pa.string())]))
+MENTIONS_T = pa.list_(pa.struct(
+    [("start", _I32), ("end", _I32), ("head_start", _I32), ("head_end", _I32),
+     ("type", pa.string()), ("mtype", pa.string())]))
+DEPS_T = pa.list_(pa.struct(
+    [("label", pa.string()), ("src_word", pa.string()), ("src_posn", _I32),
+     ("src_pos", pa.string()), ("tgt_word", pa.string()), ("tgt_posn", _I32),
+     ("tgt_pos", pa.string())]))
+SENTS_T = pa.list_(pa.struct([("start", _I32), ("end", _I32)]))
+
+PATH_COLUMNS = ["conv_id", "turn_idx", "arg1_text", "arg1_type", "arg2_text",
+                "arg2_type", "path", "typed_path", "instance_key", "repr", "example"]
+
+
+class Annotator:
+    """text → annotation list-columns (tokens/mentions/deps/sentences)."""
+
+    def __init__(self, extra_entity_sets: dict | None = None):
+        self.entity_dict = build_entity_dict(extra_entity_sets)
+        self.max_len = max_entity_phrase_len(self.entity_dict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sents, toks, ments, deps = [], [], [], []
+        for text in texts:
+            ann = annotate_text(text or "", self.entity_dict, self.max_len)
+            sents.append([{"start": s, "end": e} for s, e in ann["sentences"]])
+            toks.append([{"start": s, "end": e, "word": w, "pos": p}
+                         for s, e, w, p in ann["tokens"]])
+            ments.append([{"start": a, "end": b, "head_start": c, "head_end": d,
+                           "type": t, "mtype": m}
+                          for a, b, c, d, t, m in ann["mentions"]])
+            deps.append([{"label": l, "src_word": sw, "src_posn": sp, "src_pos": spos,
+                          "tgt_word": tw, "tgt_posn": tp, "tgt_pos": tpos}
+                         for l, sw, sp, spos, tw, tp, tpos in ann["deps"]])
+        return (batch
+                .append_column("sentences", pa.array(sents, SENTS_T))
+                .append_column("tokens", pa.array(toks, TOKENS_T))
+                .append_column("mentions", pa.array(ments, MENTIONS_T))
+                .append_column("deps", pa.array(deps, DEPS_T)))
+
+
+class AnnotateExtract:
+    """text → path rows (fused NLP chain + DepPaths.collectPaths)."""
+
+    def __init__(self, extra_entity_sets: dict | None = None,
+                 max_intervening: int = 3):
+        self.entity_dict = build_entity_dict(extra_entity_sets)
+        self.max_len = max_entity_phrase_len(self.entity_dict)
+        self.max_intervening = max_intervening
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out: dict[str, list] = {c: [] for c in PATH_COLUMNS}
+        for cid, ti, text in zip(conv, tidx, texts):
+            text = text or ""
+            ann = annotate_text(text, self.entity_dict, self.max_len)
+            for row in extract_paths_from_turn(
+                    text, ann["sentences"], ann["tokens"], ann["mentions"],
+                    ann["deps"], self.max_intervening):
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(ti)
+                for k in row:
+                    out[k].append(row[k])
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], _I32),
+            **{k: pa.array(out[k], pa.string()) for k in PATH_COLUMNS[2:]},
+        })
+
+
+class ExtractFromAnnotations:
+    """Annotation columns → path rows (phase-2 of the cached layout;
+    reads the S4/S5 intermediate instead of re-annotating)."""
+
+    def __init__(self, max_intervening: int = 3):
+        self.max_intervening = max_intervening
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        sents = batch.column("sentences").to_pylist()
+        toks = batch.column("tokens").to_pylist()
+        ments = batch.column("mentions").to_pylist()
+        deps = batch.column("deps").to_pylist()
+        out: dict[str, list] = {c: [] for c in PATH_COLUMNS}
+        for cid, ti, text, ss, tt, mm, dd in zip(conv, tidx, texts, sents, toks, ments, deps):
+            rows = extract_paths_from_turn(
+                text or "",
+                [(s["start"], s["end"]) for s in ss],
+                [(t["start"], t["end"], t["word"], t["pos"]) for t in tt],
+                [(m["start"], m["end"], m["head_start"], m["head_end"],
+                  m["type"], m["mtype"]) for m in mm],
+                [(d["label"], d["src_word"], d["src_posn"], d["src_pos"],
+                  d["tgt_word"], d["tgt_posn"], d["tgt_pos"]) for d in dd],
+                self.max_intervening)
+            for row in rows:
+                out["conv_id"].append(cid)
+                out["turn_idx"].append(ti)
+                for k in row:
+                    out[k].append(row[k])
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], _I32),
+            **{k: pa.array(out[k], pa.string()) for k in PATH_COLUMNS[2:]},
+        })

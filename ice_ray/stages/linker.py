@@ -1,0 +1,103 @@
+"""Entity linking + canonicalization.
+
+Two layers, per SURVEY.md §7 Phase 5 / the north rule:
+
+1. **Conversation-scoped linking** (the "expanding entity dictionary"
+   analog, A2/A3): inside one conversation, a bare-surname PERSON surface
+   resolves to the unique full name with that surname seen in the same
+   conversation.  Implemented as ``groupby("conv_id").map_groups`` —
+   the shuffle key is the conversation, groups are small (turns/conv),
+   and the reduce is embarrassingly parallel.
+
+2. **Global canonicalization**: normalized-surface groupby that picks one
+   canonical form per key (most frequent, ties → lexicographically
+   smallest) and rewrites edges through the broadcast map (D6/D2 analog;
+   reference counterpart: DepPathMap repr dedup, DepPathMap.java:196-234).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def link_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Resolve bare surnames within one conversation's edges (pandas group
+    in / out; sorted by turn_idx so resolution is deterministic)."""
+    df = df.sort_values("turn_idx", kind="mergesort")
+    # registry: surname → set of full names seen in this conversation
+    registry: dict[str, set[str]] = {}
+    for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+        for val, typ in zip(df[col], df[tcol]):
+            if typ == "PERSON" and " " in val:
+                registry.setdefault(val.split()[-1], set()).add(val)
+
+    def resolve(val: str, typ: str) -> str:
+        if typ == "PERSON" and " " not in val:
+            full = registry.get(val)
+            if full and len(full) == 1:
+                return next(iter(full))
+        return val
+
+    df = df.copy()
+    df["subj"] = [resolve(v, t) for v, t in zip(df["subj"], df["subj_type"])]
+    df["obj"] = [resolve(v, t) for v, t in zip(df["obj"], df["obj_type"])]
+    return df
+
+
+def link_edges_by_conversation(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    return edges.groupby("conv_id").map_groups(link_group, batch_format="pandas")
+
+
+def _norm_surface(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
+    """Distinct surfaces → canonical form.  The per-surface aggregate is
+    tiny (distinct entity surfaces, not edges); computed with a groupby
+    over (norm_key, surface) counts and reduced on the driver."""
+    def surface_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for col in ("subj", "obj"):
+            for v in batch.column(col).to_pylist():
+                c[v] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "surface": pa.array(ks, pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    counts = (edges
+              .map_batches(surface_counts, batch_format="pyarrow")
+              .groupby("surface").sum("n"))
+    pdf = counts.to_pandas()  # distinct surfaces only — small by construction
+    pdf["norm"] = pdf["surface"].map(_norm_surface)
+    best: dict[str, tuple[int, str]] = {}
+    for surface, n, norm in zip(pdf["surface"], pdf["sum(n)"], pdf["norm"]):
+        cur = best.get(norm)
+        # most frequent wins; ties → lexicographically smallest surface
+        if cur is None or (-n, surface) < (-cur[0], cur[1]):
+            best[norm] = (int(n), surface)
+    return {norm: surf for norm, (_, surf) in best.items()}
+
+
+class CanonicalRewriter:
+    """Rewrite subj/obj through the broadcast canonical map."""
+
+    def __init__(self, canon_ref):
+        self.canon = (ray.get(canon_ref)
+                      if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        def rw(col):
+            return pa.array(
+                [self.canon.get(_norm_surface(v), v) for v in col.to_pylist()],
+                pa.string())
+        idx_s = batch.schema.get_field_index("subj")
+        idx_o = batch.schema.get_field_index("obj")
+        return (batch.set_column(idx_s, "subj", rw(batch.column("subj")))
+                     .set_column(idx_o, "obj", rw(batch.column("obj"))))

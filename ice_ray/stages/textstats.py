@@ -1,0 +1,131 @@
+"""Text-analysis stages over a document/turn text column: token counts,
+term counts (G4 analog with the reference's stoplist), quality scoring,
+language-ID heuristic, document fingerprinting.
+
+All stages are vectorized per batch (pandas str kernels / Counter over a
+batch) and pre-aggregate before any shuffle.  The simple-token variants
+(lowercase ``[a-z]+`` tokens) are deliberately SQL-expressible so the
+DuckDB oracle can check them exactly (TermCounter semantics live in
+pipelines/terms.py over annotations instead).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow as pa
+
+from ..config import TERM_STOPWORDS
+
+_WORD_RE = re.compile(r"[a-z]+")
+_WS_RE = re.compile(r"\s+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "por", "con"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "du", "est", "pas"},
+}
+
+
+def term_count_partials(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Per-batch combiner → (term, freq, doc_freq) partial rows.
+    Term = lowercase alphabetic token, len > 1, not a stopword
+    (TermCounter.java:36-45 stoplist).  Safe because one document is
+    wholly contained in one row."""
+    freq: Counter = Counter()
+    doc_freq: Counter = Counter()
+    for text in batch.column(text_col).to_pylist():
+        toks = [t for t in _WORD_RE.findall((text or "").lower())
+                if len(t) > 1 and t not in TERM_STOPWORDS]
+        freq.update(toks)
+        doc_freq.update(set(toks))
+    terms = list(freq.keys())
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "freq": pa.array([freq[t] for t in terms], pa.int64()),
+        "doc_freq": pa.array([doc_freq[t] for t in terms], pa.int64()),
+    })
+
+
+def term_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ (term, freq, doc_freq) dataset (G4: corpus frequency + document
+    frequency), shuffle moves only per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(term_count_partials, batch_format="pyarrow",
+                             fn_kwargs={"text_col": text_col, "id_col": id_col})
+    return partial.groupby("term").aggregate(
+        Sum("freq", alias_name="freq"),
+        Sum("doc_freq", alias_name="doc_freq"),
+    )
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document token counting + quality signals: n_tokens,
+    n_stopwords, n_chars_norm (whitespace-collapsed length)."""
+    n_tokens, n_stop, n_chars = [], [], []
+    for text in batch.column(text_col).to_pylist():
+        toks = _WORD_RE.findall((text or "").lower())
+        n_tokens.append(len(toks))
+        n_stop.append(sum(1 for t in toks if t in TERM_STOPWORDS))
+        n_chars.append(len(_WS_RE.sub(" ", (text or "").strip())))
+    return (batch.select([c for c in (batch.column_names) if c in ("doc_id", "conv_id", "turn_idx")])
+            .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+            .append_column("n_stopwords", pa.array(n_stop, pa.int64()))
+            .append_column("n_chars_norm", pa.array(n_chars, pa.int64())))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality score in [0,1]."""
+    ids = batch.column("doc_id")
+    scores = []
+    for text in batch.column(text_col).to_pylist():
+        text = text or ""
+        toks = _WORD_RE.findall(text.lower())
+        if not toks:
+            scores.append(0.0)
+            continue
+        stop_ratio = sum(1 for t in toks if t in TERM_STOPWORDS) / len(toks)
+        punct_ratio = sum(1 for c in text if not c.isalnum() and not c.isspace()) / max(len(text), 1)
+        length_ok = 1.0 if 10 <= len(toks) <= 10000 else 0.5
+        score = length_ok * (1 - punct_ratio) * (0.5 + 0.5 * min(stop_ratio * 4, 1.0))
+        scores.append(round(score, 6))
+    return pa.table({"doc_id": ids,
+                     "quality": pa.array(scores, pa.float64())})
+
+
+class LangId:
+    """Stopword-profile language ID (actor stage; profiles compiled once).
+    Returns the argmax profile or 'und' when nothing matches."""
+
+    def __init__(self):
+        self.profiles = _LANG_PROFILES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for text in batch.column("text").to_pylist():
+            toks = set(_WORD_RE.findall((text or "").lower()))
+            best, best_n = "und", 0
+            for lang in sorted(self.profiles):
+                n = len(toks & self.profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang_pred": pa.array(preds, pa.string())})
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic document fingerprint: md5 of the
+    lowercase/whitespace-collapsed text (SQL-checkable in DuckDB)."""
+    fps = []
+    for text in batch.column(text_col).to_pylist():
+        norm = _WS_RE.sub(" ", (text or "").lower().strip())
+        fps.append(hashlib.md5(norm.encode()).hexdigest())
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "fp": pa.array(fps, pa.string())})

@@ -1,0 +1,57 @@
+"""End-to-end KG pipeline test: synthetic transcripts → edges, compared
+against template-derived gold triples with the P/R ≥ 0.95 gate
+(BASELINE.json metric), plus resume semantics."""
+
+import os
+
+import pytest
+
+from ice_ray.functions.prf import triple_prf
+from ice_ray.pipelines.kg import build_kg, dedup_edges, run_kg_job
+from ice_ray.sources.transcripts import generate_transcripts, materialize_corpus
+
+N_TURNS = 1500
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    import ray.data
+
+    transcripts, gold = generate_transcripts(N_TURNS, seed=42)
+    return ray.data.from_arrow(transcripts), gold
+
+
+def test_kg_pr_gate(corpus):
+    ds, gold = corpus
+    edges = build_kg(ds).to_pandas()
+    system = set(zip(edges["subj"], edges["pred"], edges["obj"]))
+    gold_set = set(zip(gold["subj"].to_pylist(), gold["pred"].to_pylist(),
+                       gold["obj"].to_pylist()))
+    prf = triple_prf(system, gold_set)
+    assert prf["precision"] >= 0.95, prf
+    assert prf["recall"] >= 0.95, prf
+
+
+def test_edges_schema_and_weights(corpus):
+    ds, gold = corpus
+    edges = build_kg(ds).to_pandas()
+    assert set(edges.columns) == {"subj", "pred", "obj", "subj_type",
+                                  "obj_type", "weight", "conv_id", "turn_idx"}
+    assert (edges["weight"] >= 1).all()
+    # dedup: triples are unique
+    assert not edges.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_resume_skips_completed_groups(ray_session, tmp_path):
+    corpus_dir = materialize_corpus(800, seed=7, base_dir=str(tmp_path / "corpus"),
+                                    shard_rows=200)
+    files = sorted(
+        os.path.join(corpus_dir, "transcripts", f)
+        for f in os.listdir(os.path.join(corpus_dir, "transcripts")))
+    out = str(tmp_path / "kg_out")
+    s1 = run_kg_job(files, out, group_size=2, resume=True)
+    assert s1["groups_skipped"] == 0
+    assert s1["triples"] > 0
+    s2 = run_kg_job(files, out, group_size=2, resume=True)
+    assert s2["groups_skipped"] == s2["groups"]
+    assert s2["triples"] == s1["triples"]
