@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one
+callable per implemented operator family from SURVEY.md §2; the matching
+``oracle_sql()`` entries let the driver check them against DuckDB on the
+same parquet tables.  Ray is initialised by the driver — nothing here
+calls ``ray.init()``/``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names are identical between each queries() result and its oracle
+SQL (the driver hashes values under sorted column names); float scores
+are rounded to 6 decimals on BOTH sides.
 """
 
 from __future__ import annotations
@@ -18,27 +16,437 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ice_ray.config import TERM_STOPWORDS
+
+_SW = ", ".join(f"'{w}'" for w in sorted(TERM_STOPWORDS))
+_TOK = "regexp_extract_all(lower(text), '[a-z]+')"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _round_col(ds, col: str, digits: int = 6):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, col, pc.round(batch.column(col), digits))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_term_counts(sf_dir: str):
+    from ice_ray.stages.textstats import term_counts
+    return term_counts(_docs(sf_dir))
+
+
+def _q_term_ratio(sf_dir: str):
+    """Foreground (source='src0') vs background doc-frequency ratio
+    (utils/Ratio.java:44-50 add-one semantics; J1/J2/F5)."""
+    import math
+
+    import pyarrow as pa
+
+    import ray
+    from ice_ray.stages.textstats import term_counts
+
+    docs = _docs(sf_dir)
+    fg = term_counts(docs.filter(expr="source == 'src0'"))
+    bg = term_counts(docs.filter(expr="source != 'src0'"))
+    bg_map = {r["term"]: r["doc_freq"] for r in bg.iter_rows()}
+    bg_ref = ray.put(bg_map)
+
+    class Scorer:
+        def __init__(self):
+            self.bg = ray.get(bg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            terms = batch.column("term").to_pylist()
+            f1 = [d + 1 for d in batch.column("doc_freq").to_pylist()]
+            f2 = [self.bg.get(t, 0) + 1 for t in terms]
+            score = [round(a / b * math.log(a), 6) for a, b in zip(f1, f2)]
+            return pa.table({
+                "term": pa.array(terms, pa.string()),
+                "fg_df": pa.array(batch.column("doc_freq"), pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            })
+
+    return fg.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 2))
+
+
+def _q_top_terms(sf_dir: str):
+    from ice_ray.stages.textstats import term_counts
+    return (term_counts(_docs(sf_dir))
+            .sort(["freq", "term"], descending=[True, False]).limit(40))
+
+
+def _q_doc_dedup_exact(sf_dir: str):
+    from ice_ray.stages.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from ice_ray.stages.textstats import fingerprint
+    return _docs(sf_dir).map_batches(fingerprint, batch_format="pyarrow")
+
+
+def _q_token_stats(sf_dir: str):
+    from ice_ray.stages.textstats import token_stats
+    return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
+
+
+def _q_lang_counts(sf_dir: str):
+    from ice_ray.pipelines.relations import key_counts
+    return key_counts(_docs(sf_dir), "lang", alias="n")
+
+
+def _q_events_hourly(sf_dir: str):
+    from ice_ray.stages.windows import hourly_counts
+    return _round_col(hourly_counts(_events(sf_dir)), "value_sum", 2)
+
+
+def _q_sessions(sf_dir: str):
+    from ice_ray.stages.windows import sessionize
+    return sessionize(_events(sf_dir))
+
+
+def _q_top_users(sf_dir: str):
+    from ice_ray.stages.windows import top_users_by_value
+    return top_users_by_value(_events(sf_dir), k=10)
+
+
+def _q_knn_cosine(sf_dir: str):
+    import ray.data
+    from ice_ray.stages.similarity import centroid_of_label, knn_to_vector
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    centroid = centroid_of_label(emb, label=0)
+    return knn_to_vector(emb, centroid, k=10)
+
+
+def _q_customer_nation(sf_dir: str):
+    """Broadcast small-side lookup join (J1-class): customers per nation
+    name, no shuffle join — nation is read once and shipped via ray.put."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class AddName:
+        def __init__(self):
+            self.nmap = ray.get(nmap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            names = [self.nmap.get(k) for k in batch.column("c_nationkey").to_pylist()]
+            g = (pa.table({"n_name": pa.array(names, pa.string())})
+                 .group_by(["n_name"]).aggregate([("n_name", "count")]))
+            return g.rename_columns(["n_name", "n"])
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_nationkey"])
+    return (cust.map_batches(AddName, batch_format="pyarrow", concurrency=(1, 2))
+            .groupby("n_name").aggregate(Sum("n", alias_name="n_customers")))
+
+
+def _q_orders_by_status(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderstatus"]).aggregate(
+            [("o_totalprice", "sum"), ("o_orderkey", "count")])
+        return g.rename_columns(["o_orderstatus", "v", "n"])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderstatus", "o_totalprice", "o_orderkey"])
+    agg = (orders.map_batches(partial, batch_format="pyarrow")
+           .groupby("o_orderstatus")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("v", alias_name="total_price")))
+    return _round_col(agg, "total_price", 2)
+
+
+def _q_term_pmi(sf_dir: str):
+    """PMI of adjacent-token (term, ctx) pairs — the two-stage PMI
+    computation of G6 (EntitySetIndexer.java:297-343): partial pair counts
+    → groupby sums → broadcast priors → per-row transform."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    import re
+    word = re.compile(r"[a-z]+")
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            toks = word.findall((text or "").lower())
+            c.update(zip(toks, toks[1:]))
+        ks = list(c.keys())
+        return pa.table({
+            "term": pa.array([k[0] for k in ks], pa.string()),
+            "ctx": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    pairs = (_docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
+             .materialize())
+    rowsums = {r["term"]: r["rs"] for r in
+               pairs.groupby("term").aggregate(Sum("n", alias_name="rs")).iter_rows()}
+    colsums = {r["ctx"]: r["cs"] for r in
+               pairs.groupby("ctx").aggregate(Sum("n", alias_name="cs")).iter_rows()}
+    n_total = sum(rowsums.values())
+    rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
+
+    class Pmi:
+        def __init__(self):
+            self.rs, self.cs = ray.get(rs_ref), ray.get(cs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.column("term").to_pylist()
+            x = batch.column("ctx").to_pylist()
+            n = batch.column("n").to_pylist()
+            pmi = [round(math.log(c / self.rs[a] / (self.cs[b] / n_total)), 6)
+                   for a, b, c in zip(t, x, n)]
+            return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    return pairs.map_batches(Pmi, batch_format="pyarrow", concurrency=(1, 2))
+
+
+# --- transcript/KG operators (rows-only driver check; the P/R harness in
+#     tests/test_kg_pipeline.py is the correctness gate for these) ---
+
+def _synth_transcripts(n_turns: int = 3000):
+    import ray.data
+    from ice_ray.sources.transcripts import generate_transcripts
+    tr, _ = generate_transcripts(n_turns, seed=42)
+    return ray.data.from_arrow(tr)
+
+
+def _q_kg_edges(sf_dir: str):
+    from ice_ray.pipelines.kg import build_kg
+    return build_kg(_synth_transcripts()).sort(["subj", "pred", "obj"])
+
+
+def _q_path_type_counts(sf_dir: str):
+    from ice_ray.pipelines.kg import extract_paths
+    from ice_ray.pipelines.relations import path_type_counts
+    return path_type_counts(extract_paths(_synth_transcripts()))
+
+
+def _q_annotations(sf_dir: str):
+    import ray.data
+    from ice_ray.stages.annotator import Annotator
+    return _synth_transcripts(500).map_batches(
+        Annotator, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+
+
+def _q_minhash_neardup(sf_dir: str):
+    from ice_ray.stages.dedup import minhash_neardup_pairs
+    return minhash_neardup_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from ice_ray.stages.dedup import SimHasher
+    return _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
+                                     concurrency=(1, 2))
+
+
+def _q_quality(sf_dir: str):
+    from ice_ray.stages.textstats import quality_score
+    return _docs(sf_dir).map_batches(quality_score, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    from ice_ray.stages.textstats import LangId
+    return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                     concurrency=(1, 2))
+
+
+def _q_knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN candidates: bucket ids per vector (scale path)."""
+    import ray.data
+    from ice_ray.stages.similarity import HyperplaneBucketer
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.take(1)[0]["embedding"])
+    return emb.map_batches(
+        HyperplaneBucketer, batch_format="pyarrow",
+        fn_constructor_kwargs={"dim": dim},
+        concurrency=(1, 2)).select_columns(["vec_id", "label", "bucket"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents adapted to the transcripts schema,
+    unioned with the synthetic template corpus, through the full KG
+    pipeline → deduplicated canonical edge Dataset."""
+    from ice_ray.pipelines.kg import build_kg
+    from ice_ray.sources.adapters import transcripts_from_documents
+
+    docs_turns = transcripts_from_documents("/root/testdata/sf0.001")
+    synth = _synth_transcripts(2000)
+    return build_kg(docs_turns.union(synth))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "term_counts": _q_term_counts,
+        "term_ratio": _q_term_ratio,
+        "top_terms": _q_top_terms,
+        "doc_dedup_exact": _q_doc_dedup_exact,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "token_stats": _q_token_stats,
+        "lang_counts": _q_lang_counts,
+        "events_hourly": _q_events_hourly,
+        "sessions": _q_sessions,
+        "top_users": _q_top_users,
+        "knn_cosine": _q_knn_cosine,
+        "customer_nation": _q_customer_nation,
+        "orders_by_status": _q_orders_by_status,
+        "term_pmi": _q_term_pmi,
+        "kg_edges": _q_kg_edges,
+        "path_type_counts": _q_path_type_counts,
+        "annotations": _q_annotations,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash": _q_simhash,
+        "quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_lsh": _q_knn_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_counts": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            SELECT term, count(*)::BIGINT AS freq,
+                   count(DISTINCT doc_id)::BIGINT AS doc_freq
+            FROM toks WHERE length(term) > 1 AND term NOT IN ({_SW})
+            GROUP BY term
+        """,
+        "term_ratio": f"""
+            WITH toks AS (
+              SELECT doc_id, source, unnest({_TOK}) AS term FROM documents),
+            fg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df FROM toks
+                   WHERE source = 'src0' AND length(term) > 1
+                     AND term NOT IN ({_SW}) GROUP BY term),
+            bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS bg_df FROM toks
+                   WHERE source <> 'src0' AND length(term) > 1
+                     AND term NOT IN ({_SW}) GROUP BY term)
+            SELECT fg.term, fg.fg_df,
+                   round((fg.fg_df + 1.0) / (coalesce(bg.bg_df, 0) + 1.0)
+                         * ln(fg.fg_df + 1.0), 6) AS score
+            FROM fg LEFT JOIN bg ON fg.term = bg.term
+        """,
+        "top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            f AS (SELECT term, count(*)::BIGINT AS freq,
+                         count(DISTINCT doc_id)::BIGINT AS doc_freq
+                  FROM toks WHERE length(term) > 1 AND term NOT IN ({_SW})
+                  GROUP BY term)
+            SELECT * FROM f ORDER BY freq DESC, term LIMIT 40
+        """,
+        "doc_dedup_exact": """
+            SELECT min(doc_id)::BIGINT AS canonical_id,
+                   count(*)::BIGINT AS group_size
+            FROM (SELECT doc_id,
+                         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
+                  FROM documents)
+            GROUP BY norm
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "token_stats": rf"""
+            SELECT doc_id,
+                   len({_TOK})::BIGINT AS n_tokens,
+                   len(list_filter({_TOK}, t -> t IN ({_SW})))::BIGINT AS n_stopwords,
+                   length(trim(regexp_replace(text, '\s+', ' ', 'g')))::BIGINT AS n_chars_norm
+            FROM documents
+        """,
+        "lang_counts": """
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 2) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH x AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM x GROUP BY user_id
+        """,
+        "top_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 10
+        """,
+        "knn_cosine": """
+            WITH c AS (
+              SELECT list(avg_v ORDER BY idx) AS centroid FROM (
+                SELECT idx, avg(v) AS avg_v FROM (
+                  SELECT unnest(embedding::DOUBLE[]) AS v,
+                         generate_subscripts(embedding, 1) AS idx
+                  FROM embeddings WHERE label = 0)
+                GROUP BY idx))
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT centroid FROM c)), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "customer_nation": """
+            SELECT n.n_name, count(*)::BIGINT AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "term_pmi": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOK} AS arr FROM documents),
+            pairs AS (
+              SELECT arr[i] AS term, arr[i + 1] AS ctx
+              FROM toks, LATERAL unnest(generate_series(1, len(arr) - 1)) AS g(i)),
+            pc AS (SELECT term, ctx, count(*)::BIGINT AS n FROM pairs GROUP BY term, ctx),
+            rs AS (SELECT term, sum(n) AS r FROM pc GROUP BY term),
+            cs AS (SELECT ctx, sum(n) AS c FROM pc GROUP BY ctx),
+            tot AS (SELECT sum(n) AS t FROM pc)
+            SELECT pc.term, pc.ctx, pc.n,
+                   round(ln(pc.n / rs.r / (cs.c / tot.t)), 6) AS pmi
+            FROM pc JOIN rs USING (term) JOIN cs USING (ctx), tot
+        """,
+    }

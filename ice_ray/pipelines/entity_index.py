@@ -1,0 +1,108 @@
+"""Term–context PMI index (the EntitySetIndex analog, P15 + G6).
+
+Featurizer (entityset/EntitySetIndexer.java:375-408): for each common-noun
+term occurrence, contexts are ``{label-1}_{stem(governor)}`` for edges
+where the term is the dependent, and ``{label}_{stem(dependent)}`` for
+edges where it is the governor, stopword-filtered.
+
+PMI (EntitySetIndexer.java:297-343): two-stage — N and context priors from
+groupby sums, then each cell → ``ln(val / rowsum / prior)``.  The index
+dataset is (term, contexts: list<struct<ctx, pmi>>), the Arrow analog of
+the ``EntitySetIndex_nn`` file (:345-356), keeping components with
+pmi > 0.1 like writeVector.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+
+from ..config import TERM_STOPWORDS
+from ..nlp.stemmer import stem
+
+CONTEXTS_T = pa.list_(pa.struct([("ctx", pa.string()), ("pmi", pa.float64())]))
+
+
+class ContextFeaturizer:
+    """Annotation batches → (term, ctx, n) partial counts."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for toks, deps in zip(batch.column("tokens").to_pylist(),
+                              batch.column("deps").to_pylist()):
+            nn_at = {t["start"]: t["word"] for t in toks
+                     if t["pos"] in ("NN", "NNS")
+                     and len(t["word"]) > 1
+                     and t["word"].lower() not in TERM_STOPWORDS}
+            for d in deps:
+                tw = nn_at.get(d["tgt_posn"])
+                if tw is not None and d["src_word"].lower() not in TERM_STOPWORDS:
+                    c[(tw.lower(), f"{d['label']}-1_{stem(d['src_word'].lower())}")] += 1
+                sw = nn_at.get(d["src_posn"])
+                if sw is not None and d["tgt_word"].lower() not in TERM_STOPWORDS:
+                    c[(sw.lower(), f"{d['label']}_{stem(d['tgt_word'].lower())}")] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "term": pa.array([k[0] for k in ks], pa.string()),
+            "ctx": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+
+def build_pmi_index(annotations, min_pmi: float = 0.1):
+    """→ (term, contexts list<struct<ctx,pmi>>) dataset."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (annotations
+              .map_batches(ContextFeaturizer, batch_format="pyarrow",
+                           concurrency=(1, 8))
+              .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
+              .materialize())
+    rowsums = {r["term"]: r["rs"] for r in
+               counts.groupby("term").aggregate(Sum("n", alias_name="rs")).iter_rows()}
+    colsums = {r["ctx"]: r["cs"] for r in
+               counts.groupby("ctx").aggregate(Sum("n", alias_name="cs")).iter_rows()}
+    n_total = sum(rowsums.values())
+    rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
+
+    class PmiCell:
+        def __init__(self):
+            self.rs, self.cs = ray.get(rs_ref), ray.get(cs_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.column("term").to_pylist()
+            x = batch.column("ctx").to_pylist()
+            n = batch.column("n").to_pylist()
+            pmi = [math.log(c / self.rs[a] / (self.cs[b] / n_total))
+                   for a, b, c in zip(t, x, n)]
+            return pa.table({
+                "term": pa.array(t, pa.string()),
+                "ctx": pa.array(x, pa.string()),
+                "pmi": pa.array(pmi, pa.float64()),
+            })
+
+    cells = counts.map_batches(PmiCell, batch_format="pyarrow", concurrency=(1, 2))
+    cells = cells.filter(expr=f"pmi > {min_pmi}")
+
+    import pandas as pd
+
+    def to_index(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "term": [df["term"].iloc[0]],
+            "contexts": [[{"ctx": c, "pmi": p}
+                          for c, p in sorted(zip(df["ctx"], df["pmi"]))]],
+        })
+
+    return cells.groupby("term").map_groups(to_index, batch_format="pandas")
+
+
+def load_index_as_dict(index_ds) -> dict[str, dict[str, float]]:
+    """Index dataset → {term: {ctx: pmi}} (the expander's in-memory form,
+    entityset/EntitySetExpander.java:219-249)."""
+    out: dict[str, dict[str, float]] = {}
+    for row in index_ds.iter_rows():
+        out[row["term"]] = {c["ctx"]: c["pmi"] for c in row["contexts"]}
+    return out

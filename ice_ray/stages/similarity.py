@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute-force cosine top-k against a broadcast query matrix: numpy matmul
+  per batch, per-batch partial top-k, tiny driver merge — the baseline;
+- LSH-bucketed variant (random hyperplane signs) as the scale path: a
+  candidate generation groupby on (query-independent) bucket ids, exact
+  re-rank inside buckets;
+- embedding-cosine near-duplicate pairs.
+
+Embedding math is float64 (cast once per batch) so results are
+bit-comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def centroid_of_label(ds, label: int, col: str = "embedding") -> np.ndarray:
+    """Mean vector of rows with ``label`` — streaming partial sums, no
+    driver materialization of vectors."""
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sel = batch.filter(pc.equal(batch["label"], label))
+        if sel.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        m = _batch_matrix(sel, col)
+        return pa.table({"s": pa.array([m.sum(axis=0).tolist()]),
+                         "n": pa.array([m.shape[0]], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    n = sum(p["n"] for p in parts)
+    return total / max(n, 1)
+
+
+class CosineScorer:
+    """Append cosine similarity to a broadcast query vector."""
+
+    def __init__(self, query_ref, col: str = "embedding"):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        self.qn = np.linalg.norm(self.q)
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1)
+        denom = norms * self.qn
+        denom[denom == 0] = 1.0
+        cos = (m @ self.q) / denom
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cosine": pa.array(np.round(cos, 6), pa.float64()),
+        })
+
+
+def knn_to_vector(ds, query: np.ndarray, k: int = 10, col: str = "embedding"):
+    """Brute-force cosine top-k: score per batch, global top-k via sort.
+    Deterministic tie-break on vec_id."""
+    qref = ray.put(np.asarray(query, dtype=np.float64))
+    scored = ds.map_batches(CosineScorer, batch_format="pyarrow",
+                            fn_constructor_kwargs={"query_ref": qref, "col": col},
+                            concurrency=(1, 8))
+    return scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
+
+
+class MultiQueryTopK:
+    """Per-batch partial top-k for a broadcast query MATRIX (Q×D): one
+    matmul per batch; emits (query_id, vec_id, cosine) candidate rows
+    whose per-query count ≤ k — the driver-side merge is Q×k×num_batches
+    small."""
+
+    def __init__(self, queries_ref, k: int = 10, col: str = "embedding"):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        self.qn = np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.qn[self.qn == 0] = 1.0
+        self.k = k
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        vids = np.asarray(batch.column("vec_id").to_pylist())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (self.q / self.qn) @ (m / norms).T  # Q × batch
+        k = min(self.k, cos.shape[1])
+        idx = np.argpartition(-cos, k - 1, axis=1)[:, :k]
+        qid, vid, val = [], [], []
+        for qi in range(cos.shape[0]):
+            for j in idx[qi]:
+                qid.append(qi)
+                vid.append(int(vids[j]))
+                val.append(round(float(cos[qi, j]), 6))
+        return pa.table({"query_id": pa.array(qid, pa.int32()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "cosine": pa.array(val, pa.float64())})
+
+
+def knn_multi_query(ds, queries: np.ndarray, k: int = 10, col: str = "embedding"):
+    """→ pandas (query_id, vec_id, cosine) exact top-k per query."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(MultiQueryTopK, batch_format="pyarrow",
+                          fn_constructor_kwargs={"queries_ref": qref, "k": k, "col": col},
+                          concurrency=(1, 8)).to_pandas()
+    out = []
+    for qi, g in cand.groupby("query_id"):
+        top = heapq.nsmallest(k, g.itertuples(index=False),
+                              key=lambda r: (-r.cosine, r.vec_id))
+        out.extend(top)
+    import pandas as pd
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
+
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH bucket ids (scale path for ANN): vectors in
+    the same ``bucket`` are cosine-close candidates; search probes the
+    query's bucket (and optionally neighbors at Hamming distance 1)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 42,
+                 col: str = "embedding"):
+        rs = np.random.RandomState(seed)
+        self.planes = rs.normal(size=(n_planes, dim))
+        self.col = col
+
+    def bucket_of(self, v: np.ndarray) -> int:
+        bits = (self.planes @ np.asarray(v, dtype=np.float64)) > 0
+        return int(bits @ (1 << np.arange(bits.shape[0])))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        bits = (m @ self.planes.T) > 0
+        vals = bits @ (1 << np.arange(bits.shape[1]))
+        return batch.append_column("bucket", pa.array(vals.astype(np.int64)))
