@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: turns/sec triple-extraction throughput (BASELINE.json metric) —
+the full KG pipeline (annotate+extract → tag → link → canonicalize →
+dedup) over a cached deterministic transcripts corpus, plus per-query
+timings for the operator suite over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns": N, "turns_per_sec": N}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the same input and reports both throughputs + scaling efficiency
+(speedup/4), appending the numbers to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "1000000"))
+SEED = 42
+
+
+def _headline(corpus_dir: str) -> tuple[float, int]:
+    import ray.data
+
+    from ice_ray.config import PipelineConfig
+    from ice_ray.pipelines.kg import build_kg
+
+    cfg = PipelineConfig(
+        annotator_concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
+        annotator_batch_size=2048,
+        tagger_concurrency=(1, max(2, NUM_CPUS // 4)),
+    )
+    ds = ray.data.read_parquet(os.path.join(corpus_dir, "transcripts"),
+                               columns=["conv_id", "turn_idx", "text"])
+    t0 = time.time()
+    edges = build_kg(ds, cfg=cfg)
+    n_edges = edges.count()
+    return time.time() - t0, n_edges
+
+
+def _query_timings() -> dict[str, float]:
+    import __ray_entry__ as em
+
+    import ray.data
+
+    timings: dict[str, float] = {}
+    picks = ["term_counts", "doc_dedup_exact", "minhash_neardup",
+             "knn_cosine", "events_hourly", "sessions", "term_pmi"]
+    qs = em.queries()
+    for name in picks:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def run_once() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    from ice_ray.sources.transcripts import materialize_corpus
+
+    corpus_dir = materialize_corpus(N_TURNS, SEED)  # cached across runs
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        # warm the page cache so we measure compute + shuffle, not first I/O
+        import ray.data
+        ray.data.read_parquet(os.path.join(corpus_dir, "transcripts")).count()
+        sec, n_edges = _headline(corpus_dir)
+        queries = _query_timings() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "turns": N_TURNS,
+        "turns_per_sec": round(N_TURNS / sec, 1),
+        "edges": n_edges,
+    }
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = sub(lo), sub(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "turns": N_TURNS, "sf": SF_DIR,
+    }
+    _record_baseline(result)
+    return result
+
+
+def _record_baseline(result: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "## Measured scaling (bench.py --scaling)"
+    block = (f"\n{marker}\n\n"
+             f"| turns | sec @8 cpus | sec @32 cpus | turns/s @8 | turns/s @32 | efficiency |\n"
+             f"|---|---|---|---|---|---|\n"
+             f"| {result['turns']} | {result['sec_8']} | {result['sec_32']} "
+             f"| {result['turns_per_sec_8']} | {result['turns_per_sec_32']} "
+             f"| {result['value']} |\n")
+    try:
+        text = open(path).read()
+        if marker in text:
+            text = text[: text.index(marker)].rstrip("\n") + "\n" + block
+        else:
+            text = text.rstrip("\n") + "\n" + block
+        open(path, "w").write(text)
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -45,8 +45,13 @@ VERB_BASES = {
     "live", "visit", "die", "join", "promote", "work", "meet", "shoot",
     "move", "travel", "acquire", "announce", "say",
     "buy", "sell", "give", "seize", "pay", "hire",
-    "report", "leave",
+    "report", "leave", "discuss", "review", "approve", "reject",
 }
+
+# common nouns for the no-mention filler templates (feed the term /
+# PMI-index / expansion pipelines; not in the entity dictionary)
+WORK_NOUNS = ["budget", "plan", "schedule", "proposal", "outage", "rollout"]
+ACTOR_NOUNS = ["team", "manager", "committee", "board"]
 
 AUX_VERBS = {
     "is", "are", "was", "were", "am", "be", "been", "being",

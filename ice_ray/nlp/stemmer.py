@@ -29,6 +29,7 @@ IRREGULAR = {
     "promoted": "promote", "promoting": "promote",
     "acquired": "acquire", "acquiring": "acquire",
     "announced": "announce", "announcing": "announce",
+    "approved": "approve", "approving": "approve",
 }
 
 _VOWELS = set("aeiou")

@@ -23,7 +23,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..nlp.lexicon import CITIES, COUNTRIES, DRUGS, FIRST_NAMES, LAST_NAMES, ORGS
+from ..nlp.lexicon import (
+    ACTOR_NOUNS,
+    CITIES,
+    COUNTRIES,
+    DRUGS,
+    FIRST_NAMES,
+    LAST_NAMES,
+    ORGS,
+    WORK_NOUNS,
+)
 
 _EPOCH = _dt.datetime(2024, 1, 1)
 
@@ -89,9 +98,15 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
             text = _mk_tool_text(rng)
         elif r < 0.16:
             text = rng.choice(_FILLERS).format(C=city2)
-        elif r < 0.18:
+        elif r < 0.24:
+            # no-mention noun/verb filler: feeds the term, PMI-index and
+            # entity-set-expansion pipelines; yields no triples
+            verb = rng.choice(["discussed", "reviewed", "approved", "rejected"])
+            text = (f"The {rng.choice(ACTOR_NOUNS)} {verb} "
+                    f"the {rng.choice(WORK_NOUNS)}.")
+        elif r < 0.26:
             text = _long_sentence(rng)
-        elif r < 0.20:
+        elif r < 0.28:
             text = f"The file (see notes) mentions {p1_full} and {city}."  # brackets → dropped
         else:
             t = rng.randrange(10)

@@ -1,0 +1,150 @@
+"""Operator-level tests: ICE terms, PMI index + expansion, bootstrap,
+dedup family, multi-query similarity search."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def annotations(ray_session):
+    import ray.data
+
+    from ice_ray.sources.transcripts import generate_transcripts
+    from ice_ray.stages.annotator import Annotator
+
+    tr, _ = generate_transcripts(1200, seed=42)
+    return (ray.data.from_arrow(tr)
+            .map_batches(Annotator, batch_format="pyarrow", batch_size=512,
+                         concurrency=(1, 2))
+            .materialize())
+
+
+def test_ice_term_counts(annotations):
+    from ice_ray.pipelines.terms import ice_term_counts
+
+    counts = ice_term_counts(annotations).to_pandas()
+    terms = set(counts["term"])
+    # common nouns with /nn, names with /nnp (TermCounter.java:166-212)
+    assert any(t.endswith("/nn") for t in terms)
+    assert any(t.endswith("/nnp") for t in terms)
+    assert "budget/nn" in terms
+    assert (counts["freq"] >= counts["doc_freq"]).all()
+
+
+def test_rank_terms(annotations):
+    from ice_ray.pipelines.terms import ice_term_counts, rank_terms
+
+    counts = ice_term_counts(annotations)
+    ranked = rank_terms(counts, counts).to_pandas()  # self-background
+    assert list(ranked["score"]) == sorted(ranked["score"], reverse=True)
+
+
+def test_pmi_index_and_expansion(annotations):
+    from ice_ray.pipelines.entity_index import build_pmi_index
+    from ice_ray.pipelines.expand import expand_entity_set, rank_candidates
+
+    index = build_pmi_index(annotations).materialize()
+    terms = {r["term"] for r in index.select_columns(["term"]).iter_rows()}
+    assert "budget" in terms and "plan" in terms
+    ranked = rank_candidates(index, seeds=["budget"]).to_pandas()
+    assert "budget" not in set(ranked["term"])  # anti-joined out
+    # work nouns share dobj-1_<verb> contexts with the seed → outrank actors
+    work = {"plan", "schedule", "proposal", "outage", "rollout"}
+    top = list(ranked["term"].head(5))
+    assert work & set(top), top
+    expanded = expand_entity_set(index, ["budget"], rounds=2)
+    assert len(expanded) > 1
+
+
+def test_bootstrap_shared_args(ray_session):
+    import ray.data
+
+    from ice_ray.pipelines.kg import extract_paths
+    from ice_ray.pipelines.bootstrap import bootstrap_shared_args
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, _ = generate_transcripts(3000, seed=42)
+    paths = extract_paths(ray.data.from_arrow(tr)).materialize()
+    out = bootstrap_shared_args(paths, ["nsubj-1:live:prep:in:pobj"],
+                                min_shared=2)
+    assert out is not None and len(out) > 0
+    # conversations reuse (person, city): the died-in path shares pairs
+    assert "nsubj-1:die:prep:in:pobj" in set(out["path"])
+    assert "nsubj-1:live:prep:in:pobj" not in set(out["path"])  # seed excluded
+
+
+def test_dedup_family(ray_session):
+    import ray.data
+
+    from ice_ray.stages.dedup import (
+        SimHasher,
+        exact_dedup_groups,
+        minhash_neardup_pairs,
+        neardup_clusters,
+        ngram_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                      # exact dup
+        {"doc_id": 2, "text": base.replace("green", "dark")},  # near dup
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines shuffles and arrow batches"},
+    ]
+    ds = ray.data.from_items(docs)
+    groups = exact_dedup_groups(ds).to_pandas()
+    assert len(groups) == 3
+    assert groups["group_size"].max() == 2
+    pairs = minhash_neardup_pairs(ds, threshold=0.5).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id1"], pairs["id2"])}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert not any(3 in p for p in got)
+    clusters = neardup_clusters(minhash_neardup_pairs(ds, threshold=0.5))
+    assert set(clusters[clusters["cluster"] == 0]["doc_id"]) == {0, 1, 2}
+    sh = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2).to_pandas()
+    by_id = dict(zip(sh["doc_id"], sh["simhash"]))
+    assert by_id[0] == by_id[1]
+    assert bin(by_id[0] ^ by_id[2]).count("1") <= 8  # near dup → small Hamming
+    assert ngram_jaccard(base, base) == 1.0
+    assert ngram_jaccard(base, docs[3]["text"]) < 0.1
+
+
+def test_knn_multi_query(ray_session):
+    import ray.data
+
+    from ice_ray.stages.similarity import knn_multi_query
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.to_pandas()
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    queries = mat[:3]
+    got = knn_multi_query(emb, queries, k=5)
+    # brute-force oracle
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = qn @ mn.T
+    for qi in range(3):
+        want = set(np.argsort(-np.round(cos[qi], 6))[:5])
+        have = set(got[got["query_id"] == qi]["vec_id"])
+        assert len(have) == 5
+        assert len(want & have) >= 4  # ties at round-6 may swap the tail
+
+
+def test_lsh_bucket_recall(ray_session):
+    import ray.data
+
+    from ice_ray.stages.similarity import HyperplaneBucketer
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.take(1)[0]["embedding"])
+    b = emb.map_batches(HyperplaneBucketer, batch_format="pyarrow",
+                        fn_constructor_kwargs={"dim": dim, "n_planes": 6},
+                        concurrency=2).to_pandas()
+    # buckets must be deterministic and non-degenerate
+    assert b["bucket"].nunique() > 1
+    b2 = emb.map_batches(HyperplaneBucketer, batch_format="pyarrow",
+                         fn_constructor_kwargs={"dim": dim, "n_planes": 6},
+                        concurrency=2).to_pandas()
+    assert dict(zip(b["vec_id"], b["bucket"])) == dict(zip(b2["vec_id"], b2["bucket"]))
