@@ -283,6 +283,24 @@ def _q_lang_id(sf_dir: str):
                                      concurrency=(1, 2))
 
 
+def _q_tree_counts(sf_dir: str):
+    from ice_ray.pipelines.events import extract_trees, tree_type_counts
+    return tree_type_counts(extract_trees(_synth_transcripts(1500),
+                                          concurrency=(1, 2)))
+
+
+def _q_ice_terms(sf_dir: str):
+    from ice_ray.pipelines.preprocess import annotate
+    from ice_ray.pipelines.terms import ice_term_counts
+    return ice_term_counts(annotate(_synth_transcripts(1500)))
+
+
+def _q_pmi_index(sf_dir: str):
+    from ice_ray.pipelines.entity_index import build_pmi_index
+    from ice_ray.pipelines.preprocess import annotate
+    return build_pmi_index(annotate(_synth_transcripts(1500)))
+
+
 def _q_knn_lsh(sf_dir: str):
     """LSH-bucketed ANN candidates: bucket ids per vector (scale path)."""
     import ray.data
@@ -325,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pmi": _q_term_pmi,
         "kg_edges": _q_kg_edges,
         "path_type_counts": _q_path_type_counts,
+        "tree_counts": _q_tree_counts,
+        "ice_terms": _q_ice_terms,
+        "pmi_index": _q_pmi_index,
         "annotations": _q_annotations,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,

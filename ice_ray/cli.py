@@ -1,0 +1,135 @@
+"""Command-line entry point — the `icecli` analog (views/cli/IceCLI.java:
+35-209 command dispatch), operating on parquet corpora instead of
+directories of SGML files.
+
+Commands:
+  preprocess    transcripts → annotation cache (addCorpus/preprocess)
+  relations     annotations/transcripts → path counts (findPhrases)
+  events        transcripts → tree counts (findTrees)
+  terms         annotations → ranked terms (findEntities)
+  index         annotations → PMI index (indexEntities)
+  expand        PMI index + seeds → expanded entity set (expandEntitySet)
+  bootstrap     paths + seed path → candidate patterns (bootstrapRelation)
+  kg            transcripts → edge table (the flagship; resumable)
+  gen-corpus    write the deterministic synthetic transcripts corpus
+
+This module owns a Ray session (guarded init/shutdown) — the only
+library-adjacent code allowed to, per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ice-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("gen-corpus")
+    sp.add_argument("--turns", type=int, default=100_000)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--out", default="/tmp/ice_ray_corpus")
+
+    for name in ("preprocess", "relations", "events", "terms", "index", "kg"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--input", required=True, help="transcripts parquet dir/file")
+        sp.add_argument("--out", required=True)
+        if name == "kg":
+            sp.add_argument("--no-resume", action="store_true")
+            sp.add_argument("--group-size", type=int, default=8)
+            sp.add_argument("--partitions", type=int, default=64)
+
+    sp = sub.add_parser("expand")
+    sp.add_argument("--index", required=True, help="PMI index parquet dir")
+    sp.add_argument("--seeds", required=True, help="comma-separated seed terms")
+    sp.add_argument("--rounds", type=int, default=3)
+
+    sp = sub.add_parser("bootstrap")
+    sp.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    sp.add_argument("--seed-path", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from ice_ray.sources.transcripts import materialize_corpus
+        out = materialize_corpus(args.turns, args.seed, args.out)
+        print(json.dumps({"corpus_dir": out}))
+        return 0
+
+    _ray_session(args.num_cpus)
+    import ray
+    import ray.data
+
+    try:
+        if args.cmd == "preprocess":
+            from ice_ray.pipelines.preprocess import preprocess_to_cache
+            path = preprocess_to_cache(ray.data.read_parquet(args.input), args.out)
+            print(json.dumps({"cache": path}))
+        elif args.cmd == "relations":
+            from ice_ray.pipelines.kg import extract_paths
+            from ice_ray.pipelines.relations import path_type_counts
+            ds = ray.data.read_parquet(args.input)
+            counts = path_type_counts(extract_paths(ds))
+            counts.write_parquet(args.out, mode="overwrite")
+            print(json.dumps({"paths": args.out}))
+        elif args.cmd == "events":
+            from ice_ray.pipelines.events import extract_trees, tree_type_counts
+            ds = ray.data.read_parquet(args.input)
+            tree_type_counts(extract_trees(ds)).write_parquet(args.out, mode="overwrite")
+            print(json.dumps({"events": args.out}))
+        elif args.cmd == "terms":
+            from ice_ray.pipelines.preprocess import annotate
+            from ice_ray.pipelines.terms import ice_term_counts
+            ds = ray.data.read_parquet(args.input)
+            ice_term_counts(annotate(ds)).write_parquet(args.out, mode="overwrite")
+            print(json.dumps({"terms": args.out}))
+        elif args.cmd == "index":
+            from ice_ray.pipelines.entity_index import build_pmi_index
+            from ice_ray.pipelines.preprocess import annotate
+            ds = ray.data.read_parquet(args.input)
+            build_pmi_index(annotate(ds)).write_parquet(args.out, mode="overwrite")
+            print(json.dumps({"index": args.out}))
+        elif args.cmd == "expand":
+            from ice_ray.pipelines.expand import expand_entity_set
+            index = ray.data.read_parquet(args.index)
+            out = expand_entity_set(index, args.seeds.split(","), rounds=args.rounds)
+            print(json.dumps({"expanded": out}))
+        elif args.cmd == "bootstrap":
+            from ice_ray.pipelines.bootstrap import bootstrap_shared_args
+            from ice_ray.pipelines.kg import extract_paths
+            ds = ray.data.read_parquet(args.input)
+            out = bootstrap_shared_args(extract_paths(ds).materialize(),
+                                        [args.seed_path])
+            print(out.to_json(orient="records") if out is not None else "[]")
+        elif args.cmd == "kg":
+            from ice_ray.pipelines.kg import run_kg_job
+            files = sorted(
+                os.path.join(args.input, f) for f in os.listdir(args.input)
+                if f.endswith(".parquet")) if os.path.isdir(args.input) else [args.input]
+            stats = run_kg_job(files, args.out, group_size=args.group_size,
+                               resume=not args.no_resume)
+            print(json.dumps(stats))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,7 @@ def extract_paths_from_turn(
     mentions: list[tuple[int, int, int, int, str, str]],
     deps: list[tuple],
     max_intervening: int = MAX_INTERVENING_MENTIONS,
+    emit_repr: bool = True,
 ) -> list[dict]:
     """→ path rows: arg1/arg2 text+type, path, typed_path, instance key,
     repr, example."""
@@ -114,9 +115,7 @@ def extract_paths_from_turn(
                     t1, t2 = type1, type2
                 pstr = path_string(reg)
                 full_path = f"{t1} -- {pstr} -- {t2}"
-                lin = normalize_repr(
-                    linearize(path, raw, pos_at, t1, t2, use_stem=False))
-                rows.append({
+                row = {
                     "arg1_text": m1_text,
                     "arg1_type": type1,
                     "arg2_text": m2_text,
@@ -124,7 +123,10 @@ def extract_paths_from_turn(
                     "path": pstr,
                     "typed_path": full_path,
                     "instance_key": f"{m1_text} -- {pstr} -- {m2_text}",
-                    "repr": lin,
-                    "example": _bracketed_example(text, (ss, se), m1, m2),
-                })
+                }
+                if emit_repr:
+                    row["repr"] = normalize_repr(
+                        linearize(path, raw, pos_at, t1, t2, use_stem=False))
+                    row["example"] = _bracketed_example(text, (ss, se), m1, m2)
+                rows.append(row)
     return rows

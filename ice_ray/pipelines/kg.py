@@ -41,11 +41,13 @@ from ..state.manifest import Manifest, fingerprint_files, fingerprint_params
 
 
 def extract_paths(transcripts: "ray.data.Dataset",
-                  cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+                  cfg: PipelineConfig | None = None,
+                  emit_repr: bool = True) -> "ray.data.Dataset":
     cfg = cfg or PipelineConfig()
     return transcripts.map_batches(
         AnnotateExtract,
-        fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions},
+        fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
+                               "emit_repr": emit_repr},
         batch_format="pyarrow",
         batch_size=cfg.annotator_batch_size,
         concurrency=cfg.annotator_concurrency,
@@ -115,7 +117,7 @@ def canonicalize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
         CanonicalRewriter,
         fn_constructor_kwargs={"canon_ref": canon_ref},
         batch_format="pyarrow",
-        concurrency=(1, 2),
+        concurrency=(1, 8),
     )
 
 
@@ -124,7 +126,8 @@ def build_kg(transcripts: "ray.data.Dataset",
              cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
     """transcripts → deduplicated canonical edge dataset (lazy)."""
     cfg = cfg or PipelineConfig()
-    paths = extract_paths(transcripts, cfg)
+    # the decode path needs no repr/example — skip the linearizer
+    paths = extract_paths(transcripts, cfg, emit_repr=False)
     edges = decode_edges(paths, rules, cfg)
     edges = canonicalize_edges(edges)
     return dedup_edges(edges)
@@ -182,7 +185,7 @@ def run_kg_job(input_files: list[str], out_dir: str,
             skipped += 1
             continue
         ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
-        edges = decode_edges(extract_paths(ds, cfg), rules, cfg)
+        edges = decode_edges(extract_paths(ds, cfg, emit_repr=False), rules, cfg)
         gdir = os.path.join(out_dir, "raw_edges", gid)
         edges.write_parquet(gdir, mode="overwrite")
         n = ray.data.read_parquet(gdir).count()

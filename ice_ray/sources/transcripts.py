@@ -198,11 +198,12 @@ def generate_transcripts(n_turns: int, seed: int = 42):
 
 
 def materialize_corpus(n_turns: int, seed: int = 42, base_dir: str = "/tmp/ice_ray_corpus",
-                       shard_rows: int = 200_000) -> str:
+                       shard_rows: int = 100_000) -> str:
     """Write (once) a transcripts corpus + gold to parquet under a
-    parameter-keyed directory; returns the directory.  Sharded so Ray's
-    read parallelizes; cached across runs (bench warm-start)."""
-    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}")
+    parameter-keyed directory; returns the directory.  Sharded with small
+    row groups so Ray's read splits into many blocks (row-group
+    granularity bounds read parallelism); cached across runs."""
+    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v2")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -210,7 +211,8 @@ def materialize_corpus(n_turns: int, seed: int = 42, base_dir: str = "/tmp/ice_r
     transcripts, gold = generate_transcripts(n_turns, seed)
     for i in range(0, max(transcripts.num_rows, 1), shard_rows):
         pq.write_table(transcripts.slice(i, shard_rows),
-                       os.path.join(out, "transcripts", f"part-{i // shard_rows:05d}.parquet"))
+                       os.path.join(out, "transcripts", f"part-{i // shard_rows:05d}.parquet"),
+                       row_group_size=8192)
     pq.write_table(gold, os.path.join(out, "gold.parquet"))
     with open(done, "w") as f:
         f.write("ok")

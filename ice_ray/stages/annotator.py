@@ -68,25 +68,32 @@ class Annotator:
 
 
 class AnnotateExtract:
-    """text → path rows (fused NLP chain + DepPaths.collectPaths)."""
+    """text → path rows (fused NLP chain + DepPaths.collectPaths).
+
+    ``emit_repr=False`` skips the linearization + bracketed-example
+    rendering (pure CPU, only needed by the counts/repr pipelines) — the
+    KG decode path uses just typed_path + args."""
 
     def __init__(self, extra_entity_sets: dict | None = None,
-                 max_intervening: int = 3):
+                 max_intervening: int = 3, emit_repr: bool = True):
         self.entity_dict = build_entity_dict(extra_entity_sets)
         self.max_len = max_entity_phrase_len(self.entity_dict)
         self.max_intervening = max_intervening
+        self.emit_repr = emit_repr
+        self.columns = PATH_COLUMNS if emit_repr else PATH_COLUMNS[:-2]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
         tidx = batch.column("turn_idx").to_pylist()
         texts = batch.column("text").to_pylist()
-        out: dict[str, list] = {c: [] for c in PATH_COLUMNS}
+        out: dict[str, list] = {c: [] for c in self.columns}
         for cid, ti, text in zip(conv, tidx, texts):
             text = text or ""
             ann = annotate_text(text, self.entity_dict, self.max_len)
             for row in extract_paths_from_turn(
                     text, ann["sentences"], ann["tokens"], ann["mentions"],
-                    ann["deps"], self.max_intervening):
+                    ann["deps"], self.max_intervening,
+                    emit_repr=self.emit_repr):
                 out["conv_id"].append(cid)
                 out["turn_idx"].append(ti)
                 for k in row:
@@ -94,7 +101,7 @@ class AnnotateExtract:
         return pa.table({
             "conv_id": pa.array(out["conv_id"], pa.string()),
             "turn_idx": pa.array(out["turn_idx"], _I32),
-            **{k: pa.array(out[k], pa.string()) for k in PATH_COLUMNS[2:]},
+            **{k: pa.array(out[k], pa.string()) for k in self.columns[2:]},
         })
 
 

@@ -48,18 +48,38 @@ def link_group(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    """Link every conversation inside one hash bucket.  Vectorized path:
-    conversations with no bare-surname PERSON surface (the vast majority)
-    pass through untouched; only the rest get the per-conv registry."""
-    bare = ((df["subj_type"] == "PERSON") & ~df["subj"].str.contains(" ")) | \
-           ((df["obj_type"] == "PERSON") & ~df["obj"].str.contains(" "))
-    if not bare.any():
+    """Link every conversation inside one hash bucket — fully vectorized:
+    build a (conv_id, surname) → unique-full-name registry with pandas
+    groupbys, resolve bare surnames with a merge.  Same semantics as
+    ``link_group`` (whole-conversation registry, ambiguous surnames left
+    untouched) without a Python loop per conversation."""
+    import numpy as np
+
+    pairs = (("subj", "subj_type"), ("obj", "obj_type"))
+    regs = []
+    for col, tcol in pairs:
+        m = df.loc[(df[tcol] == "PERSON") & df[col].str.contains(" "),
+                   ["conv_id", col]].rename(columns={col: "full"})
+        regs.append(m)
+    reg = pd.concat(regs, ignore_index=True).drop_duplicates()
+    if reg.empty:
         return df
-    needs = set(df.loc[bare, "conv_id"])
-    out = [df[~df["conv_id"].isin(needs)]]
-    for _, g in df[df["conv_id"].isin(needs)].groupby("conv_id", sort=False):
-        out.append(link_group(g))
-    return pd.concat(out, ignore_index=True)
+    reg["surname"] = reg["full"].str.rsplit(" ", n=1).str[-1]
+    g = (reg.groupby(["conv_id", "surname"])["full"]
+         .agg(["nunique", "first"]).reset_index())
+    g = g[g["nunique"] == 1].rename(columns={"first": "full"})[
+        ["conv_id", "surname", "full"]]
+    df = df.copy()
+    for col, tcol in pairs:
+        bare = (df[tcol] == "PERSON") & ~df[col].str.contains(" ")
+        if not bare.any():
+            continue
+        sub = df.loc[bare, ["conv_id", col]].rename(columns={col: "surname"})
+        resolved = sub.merge(g, on=["conv_id", "surname"], how="left")["full"]
+        vals = np.where(resolved.notna().to_numpy(),
+                        resolved.to_numpy(), df.loc[bare, col].to_numpy())
+        df.loc[bare, col] = vals
+    return df
 
 
 def link_edges_by_conversation(edges: "ray.data.Dataset",
@@ -116,18 +136,26 @@ def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
 
 
 class CanonicalRewriter:
-    """Rewrite subj/obj through the broadcast canonical map."""
+    """Rewrite subj/obj through the broadcast canonical map.  The lookup
+    runs on the batch's dictionary-encoded uniques (entity surfaces repeat
+    heavily), not per row."""
 
     def __init__(self, canon_ref):
         self.canon = (ray.get(canon_ref)
                       if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
 
+    def _rewrite(self, col: pa.ChunkedArray) -> pa.Array:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(col.combine_chunks()
+                                   if isinstance(col, pa.ChunkedArray) else col)
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([self.canon.get(_norm_surface(v), v) for v in uniq],
+                          pa.string())
+        return pc.take(mapped, enc.indices)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        def rw(col):
-            return pa.array(
-                [self.canon.get(_norm_surface(v), v) for v in col.to_pylist()],
-                pa.string())
         idx_s = batch.schema.get_field_index("subj")
         idx_o = batch.schema.get_field_index("obj")
-        return (batch.set_column(idx_s, "subj", rw(batch.column("subj")))
-                     .set_column(idx_o, "obj", rw(batch.column("obj"))))
+        return (batch.set_column(idx_s, "subj", self._rewrite(batch.column("subj")))
+                     .set_column(idx_o, "obj", self._rewrite(batch.column("obj"))))
