@@ -63,7 +63,8 @@ def _q_term_ratio(sf_dir: str):
     docs = _docs(sf_dir)
     fg = term_counts(docs.filter(expr="source == 'src0'"))
     bg = term_counts(docs.filter(expr="source != 'src0'"))
-    bg_map = {r["term"]: r["doc_freq"] for r in bg.iter_rows()}
+    bg_pdf = bg.to_pandas()
+    bg_map = dict(zip(bg_pdf["term"], bg_pdf["doc_freq"]))
     bg_ref = ray.put(bg_map)
 
     class Scorer:
@@ -211,10 +212,10 @@ def _q_term_pmi(sf_dir: str):
     pairs = (_docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow")
              .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
              .materialize())
-    rowsums = {r["term"]: r["rs"] for r in
-               pairs.groupby("term").aggregate(Sum("n", alias_name="rs")).iter_rows()}
-    colsums = {r["ctx"]: r["cs"] for r in
-               pairs.groupby("ctx").aggregate(Sum("n", alias_name="cs")).iter_rows()}
+    rs_pdf = pairs.groupby("term").aggregate(Sum("n", alias_name="rs")).to_pandas()
+    rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
+    cs_pdf = pairs.groupby("ctx").aggregate(Sum("n", alias_name="cs")).to_pandas()
+    colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
     n_total = sum(rowsums.values())
     rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
 

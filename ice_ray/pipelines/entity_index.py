@@ -61,10 +61,10 @@ def build_pmi_index(annotations, min_pmi: float = 0.1):
                            concurrency=(1, 8))
               .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
               .materialize())
-    rowsums = {r["term"]: r["rs"] for r in
-               counts.groupby("term").aggregate(Sum("n", alias_name="rs")).iter_rows()}
-    colsums = {r["ctx"]: r["cs"] for r in
-               counts.groupby("ctx").aggregate(Sum("n", alias_name="cs")).iter_rows()}
+    rs_pdf = counts.groupby("term").aggregate(Sum("n", alias_name="rs")).to_pandas()
+    rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
+    cs_pdf = counts.groupby("ctx").aggregate(Sum("n", alias_name="cs")).to_pandas()
+    colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
     n_total = sum(rowsums.values())
     rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
 

@@ -104,18 +104,45 @@ def dedup_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(split_src, batch_format="pyarrow")
 
 
-def canonicalize_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def canonicalize_edges(edges: "ray.data.Dataset",
+                       strategy: str = "broadcast") -> "ray.data.Dataset":
     """Conversation-scoped surname linking, then global surface
-    canonicalization through a broadcast map."""
+    canonicalization.
+
+    ``strategy="broadcast"`` (default): build a small (conv, surname) →
+    full-name registry with one aggregate, broadcast it, and fuse link +
+    canonical rewrite into a single map_batches pass — no edge shuffle.
+    Correct while the registry (#conversations-bounded) fits in memory.
+
+    ``strategy="shuffle"``: the scale-safe path for 10^12-turn inputs —
+    bucket-hash groupby on conv_id (stages/linker.py), then a separate
+    canonical rewrite pass.
+    """
     # edges are small relative to the turn input; materializing here keeps
     # the expensive annotate+extract stage from executing twice (once for
-    # the canonical map, once for the rewrite)
-    linked = link_edges_by_conversation(edges).materialize()
-    canon = build_canonical_map(linked)
-    canon_ref = ray.put(canon)
-    return linked.map_batches(
-        CanonicalRewriter,
-        fn_constructor_kwargs={"canon_ref": canon_ref},
+    # the registry/canonical aggregates, once for the rewrite)
+    edges = edges.materialize()
+    if strategy == "shuffle":
+        linked = link_edges_by_conversation(edges).materialize()
+        canon = build_canonical_map(linked)
+        return linked.map_batches(
+            CanonicalRewriter,
+            fn_constructor_kwargs={"canon_ref": ray.put(canon)},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    from ..stages.linker import (
+        LinkCanonRewriter,
+        build_canonical_map_from_registry,
+        build_surname_registry,
+    )
+
+    registry = build_surname_registry(edges)
+    canon = build_canonical_map_from_registry(edges, registry)
+    return edges.map_batches(
+        LinkCanonRewriter,
+        fn_constructor_kwargs={"registry_ref": ray.put(registry),
+                               "canon_ref": ray.put(canon)},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
@@ -129,7 +156,7 @@ def build_kg(transcripts: "ray.data.Dataset",
     # the decode path needs no repr/example — skip the linearizer
     paths = extract_paths(transcripts, cfg, emit_repr=False)
     edges = decode_edges(paths, rules, cfg)
-    edges = canonicalize_edges(edges)
+    edges = canonicalize_edges(edges, strategy=cfg.link_strategy)
     return dedup_edges(edges)
 
 

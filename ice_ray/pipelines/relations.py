@@ -89,7 +89,8 @@ def rank_against_background(fg_counts: "ray.data.Dataset",
     The background side is broadcast (small after aggregation)."""
     import ray
 
-    bg_map = {r[key]: r[count_col] for r in bg_counts.iter_rows()}
+    bg_pdf = bg_counts.to_pandas()
+    bg_map = dict(zip(bg_pdf[key], bg_pdf[count_col]))
     bg_ref = ray.put(bg_map)
 
     class Scorer:

@@ -90,7 +90,8 @@ def rank_terms(fg_counts, bg_counts, alpha: float = 1.0):
 
     import ray
 
-    bg_map = {r["term"]: r["doc_freq"] for r in bg_counts.iter_rows()}
+    bg_pdf = bg_counts.to_pandas()
+    bg_map = dict(zip(bg_pdf["term"], bg_pdf["doc_freq"]))
     bg_ref = ray.put(bg_map)
 
     class Scorer:

@@ -105,6 +105,124 @@ def _norm_surface(s: str) -> str:
     return " ".join(s.lower().split())
 
 
+# --- broadcast-registry linking (fast path) -------------------------------
+# Builds a {(conv_id, surname): full_name} registry via one SMALL aggregate
+# (distinct registry rows, not edges) and resolves bare surnames in a plain
+# map_batches — no edge shuffle.  Correct while the registry fits in worker
+# memory (#conversations-bounded); at 10^12-turn scale use
+# link_strategy="shuffle" (link_edges_by_conversation) instead.
+
+def _registry_partial(batch: pa.Table) -> pa.Table:
+    rows: set[tuple[str, str, str]] = set()
+    for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+        convs = batch.column("conv_id").to_pylist()
+        vals = batch.column(col).to_pylist()
+        typs = batch.column(tcol).to_pylist()
+        for c, v, t in zip(convs, vals, typs):
+            if t == "PERSON" and " " in v:
+                rows.add((c, v.rsplit(" ", 1)[1], v))
+    rows = sorted(rows)
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "surname": pa.array([r[1] for r in rows], pa.string()),
+        "full": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def build_surname_registry(edges: "ray.data.Dataset") -> dict[tuple[str, str], str]:
+    """→ {(conv_id, surname): unique full name}; ambiguous surnames are
+    omitted (left unresolved, same as link_group)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = (edges.map_batches(_registry_partial, batch_format="pyarrow")
+           .groupby(["conv_id", "surname"])
+           .aggregate(Min("full", alias_name="lo"), Max("full", alias_name="hi")))
+    pdf = agg.to_pandas()
+    uniq = pdf[pdf["lo"] == pdf["hi"]]  # exactly one full name for this surname
+    return dict(zip(zip(uniq["conv_id"], uniq["surname"]), uniq["lo"]))
+
+
+class LinkCanonRewriter:
+    """Fused link + canonicalize rewrite: resolve bare PERSON surnames via
+    the broadcast registry, then map every surface through the canonical
+    map on dictionary-encoded uniques."""
+
+    def __init__(self, registry_ref, canon_ref):
+        self.registry = (ray.get(registry_ref)
+                         if isinstance(registry_ref, ray.ObjectRef) else registry_ref)
+        self.canon = (ray.get(canon_ref)
+                      if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+
+    def _link_col(self, batch: pa.Table, col: str, tcol: str) -> pa.Array:
+        convs = batch.column("conv_id").to_pylist()
+        vals = batch.column(col).to_pylist()
+        typs = batch.column(tcol).to_pylist()
+        reg = self.registry
+        out = [reg.get((c, v), v) if t == "PERSON" and " " not in v else v
+               for c, v, t in zip(convs, vals, typs)]
+        return pa.array(out, pa.string())
+
+    def _canon_col(self, col: pa.Array) -> pa.Array:
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(col)
+        uniq = enc.dictionary.to_pylist()
+        mapped = pa.array([self.canon.get(_norm_surface(v), v) for v in uniq],
+                          pa.string())
+        return pc.take(mapped, enc.indices)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx_s = batch.schema.get_field_index("subj")
+        idx_o = batch.schema.get_field_index("obj")
+        s = self._canon_col(self._link_col(batch, "subj", "subj_type"))
+        o = self._canon_col(self._link_col(batch, "obj", "obj_type"))
+        return batch.set_column(idx_s, "subj", s).set_column(idx_o, "obj", o)
+
+
+def build_canonical_map_from_registry(
+        edges: "ray.data.Dataset",
+        registry: dict[tuple[str, str], str]) -> dict[str, str]:
+    """Canonical map over *linked* surfaces without a second edge pass:
+    count raw surfaces (applying the registry per batch) in one small
+    aggregate, then reduce on the driver like build_canonical_map."""
+    import ray as _ray
+
+    reg_ref = _ray.put(registry)
+
+    class SurfaceCounts:
+        def __init__(self):
+            self.reg = _ray.get(reg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter
+            c: Counter = Counter()
+            convs = batch.column("conv_id").to_pylist()
+            for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+                vals = batch.column(col).to_pylist()
+                typs = batch.column(tcol).to_pylist()
+                for cv, v, t in zip(convs, vals, typs):
+                    if t == "PERSON" and " " not in v:
+                        v = self.reg.get((cv, v), v)
+                    c[v] += 1
+            ks = list(c.keys())
+            return pa.table({"surface": pa.array(ks, pa.string()),
+                             "n": pa.array([c[k] for k in ks], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    counts = (edges.map_batches(SurfaceCounts, batch_format="pyarrow",
+                                concurrency=(1, 8))
+              .groupby("surface").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    best: dict[str, tuple[int, str]] = {}
+    for surface, n in zip(counts["surface"], counts["n"]):
+        norm = _norm_surface(surface)
+        cur = best.get(norm)
+        if cur is None or (-n, surface) < (-cur[0], cur[1]):
+            best[norm] = (int(n), surface)
+    return {norm: surf for norm, (_, surf) in best.items()}
+
+
 def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
     """Distinct surfaces → canonical form.  The per-surface aggregate is
     tiny (distinct entity surfaces, not edges); computed with a groupby
