@@ -156,10 +156,13 @@ def _q_customer_nation(sf_dir: str):
                  .group_by(["n_name"]).aggregate([("n_name", "count")]))
             return g.rename_columns(["n_name", "n"])
 
+    from ice_ray.functions.shuffle import grouped_aggregate
+
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"])
-    return (cust.map_batches(AddName, batch_format="pyarrow", concurrency=(1, 2))
-            .groupby("n_name").aggregate(Sum("n", alias_name="n_customers")))
+    return grouped_aggregate(
+        cust.map_batches(AddName, batch_format="pyarrow", concurrency=(1, 2)),
+        keys=["n_name"], specs=[("n", "sum")], rename={"n_sum": "n_customers"})
 
 
 def _q_orders_by_status(sf_dir: str):
@@ -175,10 +178,12 @@ def _q_orders_by_status(sf_dir: str):
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_orderstatus", "o_totalprice", "o_orderkey"])
-    agg = (orders.map_batches(partial, batch_format="pyarrow")
-           .groupby("o_orderstatus")
-           .aggregate(Sum("n", alias_name="n_orders"),
-                      Sum("v", alias_name="total_price")))
+    from ice_ray.functions.shuffle import grouped_aggregate
+
+    agg = grouped_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        keys=["o_orderstatus"], specs=[("n", "sum"), ("v", "sum")],
+        rename={"n_sum": "n_orders", "v_sum": "total_price"})
     return _round_col(agg, "total_price", 2)
 
 
@@ -209,12 +214,17 @@ def _q_term_pmi(sf_dir: str):
             "n": pa.array([c[k] for k in ks], pa.int64()),
         })
 
-    pairs = (_docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow")
-             .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
-             .materialize())
-    rs_pdf = pairs.groupby("term").aggregate(Sum("n", alias_name="rs")).to_pandas()
+    from ice_ray.functions.shuffle import grouped_aggregate
+
+    pairs = grouped_aggregate(
+        _docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow"),
+        keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
+    ).materialize()
+    rs_pdf = grouped_aggregate(pairs, keys=["term"], specs=[("n", "sum")],
+                               rename={"n_sum": "rs"}).to_pandas()
     rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
-    cs_pdf = pairs.groupby("ctx").aggregate(Sum("n", alias_name="cs")).to_pandas()
+    cs_pdf = grouped_aggregate(pairs, keys=["ctx"], specs=[("n", "sum")],
+                               rename={"n_sum": "cs"}).to_pandas()
     colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
     n_total = sum(rowsums.values())
     rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)

@@ -39,7 +39,8 @@ def bootstrap_shared_args(paths, seed_paths: list[str],
     AnchoredPath.path.
     """
     import ray
-    from ray.data.aggregate import Count
+
+    from ..functions.shuffle import grouped_aggregate
 
     rejects = rejects or set()
     keyed = paths.map_batches(_arg_pair, batch_format="pyarrow").materialize()
@@ -63,8 +64,12 @@ def bootstrap_shared_args(paths, seed_paths: list[str],
     shared = keyed.map_batches(SharedFilter, batch_format="pyarrow",
                                concurrency=(1, 4))
     # distinct (path, arg_pair) then count per path = |shared arg pairs|
-    per_path = (shared.groupby(["path", "arg_pair"]).count()
-                .groupby("path").aggregate(Count(alias_name="n_shared_pairs")))
+    distinct = grouped_aggregate(shared, keys=["path", "arg_pair"],
+                                 specs=[("path", "count")],
+                                 rename={"path_count": "_n"})
+    per_path = grouped_aggregate(distinct, keys=["path"],
+                                 specs=[("path", "count")],
+                                 rename={"path_count": "n_shared_pairs"})
     pdf = per_path.to_pandas()
     pdf = pdf[~pdf["path"].isin(seed_set) & ~pdf["path"].isin(rejects)]
     pdf = pdf[pdf["n_shared_pairs"] >= min_shared]

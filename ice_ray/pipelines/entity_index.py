@@ -54,16 +54,19 @@ class ContextFeaturizer:
 def build_pmi_index(annotations, min_pmi: float = 0.1):
     """→ (term, contexts list<struct<ctx,pmi>>) dataset."""
     import ray
-    from ray.data.aggregate import Sum
 
-    counts = (annotations
-              .map_batches(ContextFeaturizer, batch_format="pyarrow",
-                           concurrency=(1, 8))
-              .groupby(["term", "ctx"]).aggregate(Sum("n", alias_name="n"))
-              .materialize())
-    rs_pdf = counts.groupby("term").aggregate(Sum("n", alias_name="rs")).to_pandas()
+    from ..functions.shuffle import grouped_aggregate
+
+    counts = grouped_aggregate(
+        annotations.map_batches(ContextFeaturizer, batch_format="pyarrow",
+                                concurrency=(1, 8)),
+        keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
+    ).materialize()
+    rs_pdf = grouped_aggregate(counts, keys=["term"], specs=[("n", "sum")],
+                               rename={"n_sum": "rs"}).to_pandas()
     rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
-    cs_pdf = counts.groupby("ctx").aggregate(Sum("n", alias_name="cs")).to_pandas()
+    cs_pdf = grouped_aggregate(counts, keys=["ctx"], specs=[("n", "sum")],
+                               rename={"n_sum": "cs"}).to_pandas()
     colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
     n_total = sum(rowsums.values())
     rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)

@@ -26,9 +26,9 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 from ..config import PipelineConfig
+from ..functions.shuffle import grouped_aggregate
 from ..sources.models import DEFAULT_RELATION_RULES
 from ..stages.annotator import AnnotateExtract
 from ..stages.linker import (
@@ -68,29 +68,28 @@ def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
     )
 
 
-def _partial_dedup(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: one row per distinct (subj,pred,obj) with a
-    partial weight and min provenance key (G1/G2 with pinned ordering)."""
+def _add_src_key(batch: pa.Table) -> pa.Table:
     src = pc.binary_join_element_wise(
         batch.column("conv_id"),
         pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()), 9, "0"),
         "#")
-    t = batch.append_column("src_key", src)
-    return t.group_by(["subj", "pred", "obj", "subj_type", "obj_type"]).aggregate(
-        [("src_key", "min"), ("subj", "count")]
-    ).rename_columns(["subj", "pred", "obj", "subj_type", "obj_type",
-                      "src_key_min", "weight"])
+    return batch.append_column("src_key", src)
 
 
-def dedup_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+def dedup_edges(edges: "ray.data.Dataset",
+                num_buckets: int = 64) -> "ray.data.Dataset":
     """Exact dedup: groupby(subj,pred,obj) → weight + first provenance
-    (deterministic ``min_by(turn_order_key)``, SURVEY §4 ordering note)."""
-    partial = edges.map_batches(_partial_dedup, batch_format="pyarrow")
-    agg = partial.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("weight", alias_name="weight"),
-        Min("src_key_min", alias_name="first_src"),
-        Min("subj_type", alias_name="subj_type"),
-        Min("obj_type", alias_name="obj_type"),
+    (deterministic ``min_by(turn_order_key)``, SURVEY §4 ordering note).
+    Two-stage bucketed aggregate (functions/shuffle.py): the shuffle moves
+    per-batch partials only."""
+    agg = grouped_aggregate(
+        edges.map_batches(_add_src_key, batch_format="pyarrow"),
+        keys=["subj", "pred", "obj"],
+        specs=[("pred", "count"), ("src_key", "min"),
+               ("subj_type", "min"), ("obj_type", "min")],
+        num_buckets=num_buckets,
+        rename={"pred_count": "weight", "src_key_min": "first_src",
+                "subj_type_min": "subj_type", "obj_type_min": "obj_type"},
     )
 
     def split_src(batch: pa.Table) -> pa.Table:
@@ -120,8 +119,11 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     """
     # edges are small relative to the turn input; materializing here keeps
     # the expensive annotate+extract stage from executing twice (once for
-    # the registry/canonical aggregates, once for the rewrite)
-    edges = edges.materialize()
+    # the registry/canonical aggregates, once for the rewrite).  Coalesce
+    # first: extraction emits one small block per task, and per-block
+    # overhead would otherwise dominate every downstream shuffle.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    edges = edges.repartition(ncpu * 2).materialize()
     if strategy == "shuffle":
         linked = link_edges_by_conversation(edges).materialize()
         canon = build_canonical_map(linked)

@@ -32,25 +32,25 @@ def _src_key(batch: pa.Table) -> pa.ChunkedArray:
         "#")
 
 
-def _partial_type_counts(batch: pa.Table) -> pa.Table:
+def _add_payload(batch: pa.Table) -> pa.Table:
     t = batch.append_column("src_key", _src_key(batch))
-    # first-wins payload rides along as "<src_key>|repr ==> example"
+    # first-wins payload rides along as "<src_key>\x01repr\x01example"
     payload = pc.binary_join_element_wise(
         t.column("src_key"), t.column("repr"), t.column("example"), "\x01")
-    t = t.append_column("payload", payload)
-    g = t.group_by(["typed_path"]).aggregate(
-        [("typed_path", "count"), ("payload", "min")])
-    return g.rename_columns(["typed_path", "n", "payload_min"])
+    return t.append_column("payload", payload)
 
 
 def path_type_counts(paths: "ray.data.Dataset",
                      min_freq: int = 1) -> "ray.data.Dataset":
     """→ (typed_path, count, repr, example) — the RelationTypes +
-    RelationRepr tables in one dataset."""
-    partial = paths.map_batches(_partial_type_counts, batch_format="pyarrow")
-    agg = partial.groupby("typed_path").aggregate(
-        Sum("n", alias_name="count"),
-        Min("payload_min", alias_name="payload"),
+    RelationRepr tables in one dataset (bucketed two-stage aggregate)."""
+    from ..functions.shuffle import grouped_aggregate
+
+    agg = grouped_aggregate(
+        paths.map_batches(_add_payload, batch_format="pyarrow"),
+        keys=["typed_path"],
+        specs=[("typed_path", "count"), ("payload", "min")],
+        rename={"typed_path_count": "count", "payload_min": "payload"},
     )
 
     def unpack(batch: pa.Table) -> pa.Table:
@@ -66,18 +66,14 @@ def path_type_counts(paths: "ray.data.Dataset",
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
-def _partial_key_counts(col: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        g = batch.group_by([col]).aggregate([(col, "count")])
-        return g.rename_columns([col, "n"])
-    return fn
-
-
 def key_counts(ds: "ray.data.Dataset", col: str,
                alias: str = "count") -> "ray.data.Dataset":
     """Generic pre-aggregated groupby(col).count() (G1/G5)."""
-    partial = ds.map_batches(_partial_key_counts(col), batch_format="pyarrow")
-    return partial.groupby(col).aggregate(Sum("n", alias_name=alias))
+    from ..functions.shuffle import grouped_aggregate
+
+    return grouped_aggregate(ds.select_columns([col]), keys=[col],
+                             specs=[(col, "count")],
+                             rename={f"{col}_count": alias})
 
 
 def rank_against_background(fg_counts: "ray.data.Dataset",

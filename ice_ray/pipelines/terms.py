@@ -73,14 +73,14 @@ class TermExtractor:
 
 
 def ice_term_counts(annotations):
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import grouped_aggregate
 
     partial = annotations.map_batches(TermExtractor, batch_format="pyarrow",
                                       concurrency=(1, 8))
-    return partial.groupby("term").aggregate(
-        Sum("freq", alias_name="freq"),
-        Sum("doc_freq", alias_name="doc_freq"),
-    )
+    return grouped_aggregate(partial, keys=["term"],
+                             specs=[("freq", "sum"), ("doc_freq", "sum")],
+                             rename={"freq_sum": "freq",
+                                     "doc_freq_sum": "doc_freq"})
 
 
 def rank_terms(fg_counts, bg_counts, alpha: float = 1.0):

@@ -45,14 +45,17 @@ def add_norm_key(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (canonical_id, group_size) per distinct normalized content
     (canonical = min id; deterministic)."""
-    from ray.data.aggregate import Count, Min
+    from ..functions.shuffle import grouped_aggregate
 
     keyed = ds.map_batches(add_norm_key, batch_format="pyarrow",
                            fn_kwargs={"text_col": text_col})
-    return (keyed.groupby("norm_key")
-            .aggregate(Min(id_col, alias_name="canonical_id"),
-                       Count(alias_name="group_size"))
-            .drop_columns(["norm_key"]))
+    return grouped_aggregate(
+        keyed.select_columns(["norm_key", id_col]),
+        keys=["norm_key"],
+        specs=[(id_col, "min"), (id_col, "count")],
+        rename={f"{id_col}_min": "canonical_id",
+                f"{id_col}_count": "group_size"},
+    ).drop_columns(["norm_key"])
 
 
 def _shingles(text: str, k: int = 3) -> list[int]:
@@ -131,7 +134,7 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
 def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
                           bands: int = 16, k: int = 3):
     """→ distinct (id1, id2, est_jaccard ≥ threshold) candidate pairs."""
-    from ray.data.aggregate import Max
+    from ..functions.shuffle import grouped_aggregate
 
     exploded = ds.map_batches(
         MinHasher, batch_format="pyarrow",
@@ -139,10 +142,11 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
         concurrency=(1, 8))
     pairs = (exploded.groupby(["band_id", "band_hash"])
              .map_groups(_bucket_pairs, batch_format="pandas"))
-    verified = pairs.filter(lambda r: r["est_jaccard"] >= threshold)
+    verified = pairs.filter(expr=f"est_jaccard >= {threshold}")
     # a pair can surface from several bands → dedup on (id1, id2)
-    return verified.groupby(["id1", "id2"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+    return grouped_aggregate(verified, keys=["id1", "id2"],
+                             specs=[("est_jaccard", "max")],
+                             rename={"est_jaccard_max": "est_jaccard"})
 
 
 def neardup_clusters(pairs_ds, max_rounds: int = 10):

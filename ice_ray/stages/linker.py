@@ -113,14 +113,16 @@ def _norm_surface(s: str) -> str:
 # link_strategy="shuffle" (link_edges_by_conversation) instead.
 
 def _registry_partial(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
     rows: set[tuple[str, str, str]] = set()
     for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-        convs = batch.column("conv_id").to_pylist()
-        vals = batch.column(col).to_pylist()
-        typs = batch.column(tcol).to_pylist()
-        for c, v, t in zip(convs, vals, typs):
-            if t == "PERSON" and " " in v:
-                rows.add((c, v.rsplit(" ", 1)[1], v))
+        mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                       pc.match_substring(batch.column(col), " "))
+        sel = batch.filter(mask)
+        for c, v in zip(sel.column("conv_id").to_pylist(),
+                        sel.column(col).to_pylist()):
+            rows.add((c, v.rsplit(" ", 1)[1], v))
     rows = sorted(rows)
     return pa.table({
         "conv_id": pa.array([r[0] for r in rows], pa.string()),
@@ -132,11 +134,14 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
 def build_surname_registry(edges: "ray.data.Dataset") -> dict[tuple[str, str], str]:
     """→ {(conv_id, surname): unique full name}; ambiguous surnames are
     omitted (left unresolved, same as link_group)."""
-    from ray.data.aggregate import Max, Min
+    from ..functions.shuffle import grouped_aggregate
 
-    agg = (edges.map_batches(_registry_partial, batch_format="pyarrow")
-           .groupby(["conv_id", "surname"])
-           .aggregate(Min("full", alias_name="lo"), Max("full", alias_name="hi")))
+    agg = grouped_aggregate(
+        edges.map_batches(_registry_partial, batch_format="pyarrow"),
+        keys=["conv_id", "surname"],
+        specs=[("full", "min"), ("full", "max")],
+        rename={"full_min": "lo", "full_max": "hi"},
+    )
     pdf = agg.to_pandas()
     uniq = pdf[pdf["lo"] == pdf["hi"]]  # exactly one full name for this surname
     return dict(zip(zip(uniq["conv_id"], uniq["surname"]), uniq["lo"]))
@@ -154,12 +159,22 @@ class LinkCanonRewriter:
                       if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
 
     def _link_col(self, batch: pa.Table, col: str, tcol: str) -> pa.Array:
-        convs = batch.column("conv_id").to_pylist()
-        vals = batch.column(col).to_pylist()
-        typs = batch.column(tcol).to_pylist()
+        import numpy as np
+        import pyarrow.compute as pc
+
+        vals = batch.column(col).combine_chunks()
+        bare = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                       pc.invert(pc.match_substring(vals, " ")))
+        idx = np.flatnonzero(bare.combine_chunks().to_numpy(zero_copy_only=False))
+        if idx.size == 0:
+            return vals
+        convs = pc.take(batch.column("conv_id"), pa.array(idx)).to_pylist()
+        bvals = pc.take(vals, pa.array(idx)).to_pylist()
         reg = self.registry
-        out = [reg.get((c, v), v) if t == "PERSON" and " " not in v else v
-               for c, v, t in zip(convs, vals, typs)]
+        resolved = pa.array([reg.get((c, v), v) for c, v in zip(convs, bvals)],
+                            pa.string())
+        out = vals.to_numpy(zero_copy_only=False).copy()
+        out[idx] = resolved.to_numpy(zero_copy_only=False)
         return pa.array(out, pa.string())
 
     def _canon_col(self, col: pa.Array) -> pa.Array:
@@ -208,12 +223,13 @@ def build_canonical_map_from_registry(
             return pa.table({"surface": pa.array(ks, pa.string()),
                              "n": pa.array([c[k] for k in ks], pa.int64())})
 
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import grouped_aggregate
 
-    counts = (edges.map_batches(SurfaceCounts, batch_format="pyarrow",
-                                concurrency=(1, 8))
-              .groupby("surface").aggregate(Sum("n", alias_name="n"))
-              .to_pandas())
+    counts = grouped_aggregate(
+        edges.map_batches(SurfaceCounts, batch_format="pyarrow",
+                          concurrency=(1, 8)),
+        keys=["surface"], specs=[("n", "sum")], rename={"n_sum": "n"},
+    ).to_pandas()
     best: dict[str, tuple[int, str]] = {}
     for surface, n in zip(counts["surface"], counts["n"]):
         norm = _norm_surface(surface)
@@ -239,13 +255,15 @@ def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
             "n": pa.array([c[k] for k in ks], pa.int64()),
         })
 
-    counts = (edges
-              .map_batches(surface_counts, batch_format="pyarrow")
-              .groupby("surface").sum("n"))
+    from ..functions.shuffle import grouped_aggregate
+
+    counts = grouped_aggregate(
+        edges.map_batches(surface_counts, batch_format="pyarrow"),
+        keys=["surface"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = counts.to_pandas()  # distinct surfaces only — small by construction
     pdf["norm"] = pdf["surface"].map(_norm_surface)
     best: dict[str, tuple[int, str]] = {}
-    for surface, n, norm in zip(pdf["surface"], pdf["sum(n)"], pdf["norm"]):
+    for surface, n, norm in zip(pdf["surface"], pdf["n"], pdf["norm"]):
         cur = best.get(norm)
         # most frequent wins; ties → lexicographically smallest surface
         if cur is None or (-n, surface) < (-cur[0], cur[1]):

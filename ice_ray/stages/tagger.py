@@ -72,38 +72,37 @@ class Tagger:
         return None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        tp = batch.column("typed_path").to_pylist()
-        a1 = batch.column("arg1_text").to_pylist()
-        a2 = batch.column("arg2_text").to_pylist()
-        t1 = batch.column("arg1_type").to_pylist()
-        t2 = batch.column("arg2_type").to_pylist()
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
-        out: dict[str, list] = {c: [] for c in EDGE_COLUMNS}
-        for i, key in enumerate(tp):
+        import pyarrow.compute as pc
+
+        # rule lookup on the batch's dictionary-encoded typed_path uniques
+        # (distinct typed paths ≪ rows), then vectorized take/filter
+        enc = pc.dictionary_encode(batch.column("typed_path").combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        rel_u: list[str | None] = []
+        for key in uniq:
             rel = self.exact.get(key)
             if rel is None and self.soft:
                 rel = self._soft_match(key)
-            if rel is None:
-                continue
-            swap = rel.endswith("-1")
-            if swap:
-                rel = rel[:-2]
-            s, o = (a2[i], a1[i]) if swap else (a1[i], a2[i])
-            st, ot = (t2[i], t1[i]) if swap else (t1[i], t2[i])
-            out["subj"].append(s)
-            out["pred"].append(rel)
-            out["obj"].append(o)
-            out["subj_type"].append(st)
-            out["obj_type"].append(ot)
-            out["conv_id"].append(conv[i])
-            out["turn_idx"].append(tidx[i])
+            rel_u.append(rel)
+        pred_u = [r[:-2] if r is not None and r.endswith("-1") else r
+                  for r in rel_u]
+        swap_u = [r is not None and r.endswith("-1") for r in rel_u]
+        pred = pc.take(pa.array(pred_u, pa.string()), enc.indices)
+        swap = pc.take(pa.array(swap_u, pa.bool_()), enc.indices)
+        keep = pc.is_valid(pred)
+        t = (batch.append_column("pred", pred)
+                  .append_column("_swap", swap)
+                  .filter(keep))
+        s = pc.if_else(t.column("_swap"), t.column("arg2_text"), t.column("arg1_text"))
+        o = pc.if_else(t.column("_swap"), t.column("arg1_text"), t.column("arg2_text"))
+        st = pc.if_else(t.column("_swap"), t.column("arg2_type"), t.column("arg1_type"))
+        ot = pc.if_else(t.column("_swap"), t.column("arg1_type"), t.column("arg2_type"))
         return pa.table({
-            "subj": pa.array(out["subj"], pa.string()),
-            "pred": pa.array(out["pred"], pa.string()),
-            "obj": pa.array(out["obj"], pa.string()),
-            "subj_type": pa.array(out["subj_type"], pa.string()),
-            "obj_type": pa.array(out["obj_type"], pa.string()),
-            "conv_id": pa.array(out["conv_id"], pa.string()),
-            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "subj": s,
+            "pred": t.column("pred"),
+            "obj": o,
+            "subj_type": st,
+            "obj_type": ot,
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
         })

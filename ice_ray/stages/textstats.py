@@ -54,15 +54,15 @@ def term_count_partials(batch: pa.Table, text_col: str = "text",
 
 def term_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
     """→ (term, freq, doc_freq) dataset (G4: corpus frequency + document
-    frequency), shuffle moves only per-batch partials."""
-    from ray.data.aggregate import Sum
+    frequency); bucketed two-stage aggregate, shuffle moves partials only."""
+    from ..functions.shuffle import grouped_aggregate
 
     partial = ds.map_batches(term_count_partials, batch_format="pyarrow",
                              fn_kwargs={"text_col": text_col, "id_col": id_col})
-    return partial.groupby("term").aggregate(
-        Sum("freq", alias_name="freq"),
-        Sum("doc_freq", alias_name="doc_freq"),
-    )
+    return grouped_aggregate(partial, keys=["term"],
+                             specs=[("freq", "sum"), ("doc_freq", "sum")],
+                             rename={"freq_sum": "freq",
+                                     "doc_freq_sum": "doc_freq"})
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -24,13 +24,12 @@ def _partial_hourly(batch: pa.Table) -> pa.Table:
 
 def hourly_counts(events):
     """Tumbling 1h window per event_type → (hour, event_type, n, value_sum)."""
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import grouped_aggregate
 
     partial = events.map_batches(_partial_hourly, batch_format="pyarrow")
-    return partial.groupby(["hour", "event_type"]).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("value_sum", alias_name="value_sum"),
-    )
+    return grouped_aggregate(partial, keys=["hour", "event_type"],
+                             specs=[("n", "sum"), ("value_sum", "sum")],
+                             rename={"n_sum": "n", "value_sum_sum": "value_sum"})
 
 
 def _sessionize_group(df: pd.DataFrame, gap_minutes: float = 30.0) -> pd.DataFrame:
@@ -53,14 +52,11 @@ def sessionize(events, gap_minutes: float = 30.0):
 
 def top_users_by_value(events, k: int = 10):
     """Top-k users by Σvalue, deterministic tie-break on user_id."""
-    from ray.data.aggregate import Sum
+    from ..functions.shuffle import grouped_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = batch.group_by(["user_id"]).aggregate([("value", "sum")])
-        return g.rename_columns(["user_id", "v"])
-
-    agg = (events.map_batches(partial, batch_format="pyarrow")
-           .groupby("user_id").aggregate(Sum("v", alias_name="total_value")))
+    agg = grouped_aggregate(events.select_columns(["user_id", "value"]),
+                            keys=["user_id"], specs=[("value", "sum")],
+                            rename={"value_sum": "total_value"})
 
     def round6(batch: pa.Table) -> pa.Table:
         return batch.set_column(
