@@ -10,7 +10,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "turns": N, "turns_per_sec": N}
 
---scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
+--scaling: runs the headline twice in fresh processes (num_cpus=N and 4N,
+default 4 and 16; override with GRAFT_SCALE_LO/HI)
 on the same input and reports both throughputs + scaling efficiency
 (speedup/4), appending the numbers to BASELINE.md.
 """
@@ -40,8 +41,10 @@ def _headline(corpus_dir: str) -> tuple[float, int]:
         annotator_batch_size=2048,
         tagger_concurrency=(1, max(2, NUM_CPUS // 4)),
     )
+    # block count bounds map-operator parallelism: one actor task per block
     ds = ray.data.read_parquet(os.path.join(corpus_dir, "transcripts"),
-                               columns=["conv_id", "turn_idx", "text"])
+                               columns=["conv_id", "turn_idx", "text"],
+                               override_num_blocks=NUM_CPUS * 8)
     t0 = time.time()
     edges = build_kg(ds, cfg=cfg)
     n_edges = edges.count()
@@ -99,13 +102,19 @@ def run_once() -> dict:
 
 
 def run_scaling() -> dict:
+    # bigger input for the scaling measurement so per-execution fixed
+    # overheads don't mask the compute scaling (same input at both levels)
+    scale_turns = int(os.environ.get("GRAFT_SCALE_TURNS",
+                                     str(max(N_TURNS, 2_000_000))))
+
     def sub(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
+                   GRAFT_BENCH_TURNS=str(scale_turns))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = sub(lo), sub(hi)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
@@ -113,10 +122,11 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
-        "turns": N_TURNS, "sf": SF_DIR,
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "turns": scale_turns, "sf": SF_DIR,
     }
     _record_baseline(result)
     return result
@@ -125,11 +135,14 @@ def run_scaling() -> dict:
 def _record_baseline(result: dict) -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     marker = "## Measured scaling (bench.py --scaling)"
+    lo, hi = result["cpus_lo"], result["cpus_hi"]
     block = (f"\n{marker}\n\n"
-             f"| turns | sec @8 cpus | sec @32 cpus | turns/s @8 | turns/s @32 | efficiency |\n"
+             f"Same job, same input, fresh processes at N={lo} and 4N={hi} cpus\n"
+             f"(`ray.init(num_cpus=...)`); efficiency = speedup / (hi/lo).\n\n"
+             f"| turns | sec @{lo} cpus | sec @{hi} cpus | turns/s @{lo} | turns/s @{hi} | efficiency |\n"
              f"|---|---|---|---|---|---|\n"
-             f"| {result['turns']} | {result['sec_8']} | {result['sec_32']} "
-             f"| {result['turns_per_sec_8']} | {result['turns_per_sec_32']} "
+             f"| {result['turns']} | {result['sec_lo']} | {result['sec_hi']} "
+             f"| {result['turns_per_sec_lo']} | {result['turns_per_sec_hi']} "
              f"| {result['value']} |\n")
     try:
         text = open(path).read()

@@ -103,6 +103,13 @@ def dedup_edges(edges: "ray.data.Dataset",
     return agg.map_batches(split_src, batch_format="pyarrow")
 
 
+def _pool_max() -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
+
+
 def canonicalize_edges(edges: "ray.data.Dataset",
                        strategy: str = "broadcast") -> "ray.data.Dataset":
     """Conversation-scoped surname linking, then global surface
@@ -131,22 +138,17 @@ def canonicalize_edges(edges: "ray.data.Dataset",
             CanonicalRewriter,
             fn_constructor_kwargs={"canon_ref": ray.put(canon)},
             batch_format="pyarrow",
-            concurrency=(1, 8),
+            concurrency=(1, _pool_max()),
         )
-    from ..stages.linker import (
-        LinkCanonRewriter,
-        build_canonical_map_from_registry,
-        build_surname_registry,
-    )
+    from ..stages.linker import LinkCanonRewriter, build_link_state
 
-    registry = build_surname_registry(edges)
-    canon = build_canonical_map_from_registry(edges, registry)
+    registry, canon = build_link_state(edges)
     return edges.map_batches(
         LinkCanonRewriter,
         fn_constructor_kwargs={"registry_ref": ray.put(registry),
                                "canon_ref": ray.put(canon)},
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, _pool_max()),
     )
 
 
@@ -213,7 +215,9 @@ def run_kg_job(input_files: list[str], out_dir: str,
         if resume and man.is_done(gid, fp):
             skipped += 1
             continue
-        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
+                                   override_num_blocks=max(len(files), ncpu * 4))
         edges = decode_edges(extract_paths(ds, cfg, emit_repr=False), rules, cfg)
         gdir = os.path.join(out_dir, "raw_edges", gid)
         edges.write_parquet(gdir, mode="overwrite")

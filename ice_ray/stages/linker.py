@@ -147,6 +147,96 @@ def build_surname_registry(edges: "ray.data.Dataset") -> dict[tuple[str, str], s
     return dict(zip(zip(uniq["conv_id"], uniq["surname"]), uniq["lo"]))
 
 
+def build_link_state(edges: "ray.data.Dataset"):
+    """ONE pass over edges → (surname registry, canonical map).
+
+    Emits three partial row kinds from a single map_batches —
+    R: distinct (conv, surname, full) registry rows;
+    S: non-bare surface counts; B: bare (conv, surname) counts —
+    reduces them in one bucketed aggregate, and finishes on the driver
+    (registry from R; canon counts = S + registry-resolved B).
+    Replaces build_surname_registry + build_canonical_map_from_registry
+    when both are needed (halves the tail executions)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds, k1s, k2s, ns = [], [], [], []
+        seen_r: set[tuple[str, str]] = set()
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            vals = batch.column(col).combine_chunks()
+            is_person = pc.equal(batch.column(tcol), "PERSON")
+            has_space = pc.match_substring(vals, " ")
+            full_mask = pc.and_(is_person, has_space)
+            bare_mask = pc.and_(is_person, pc.invert(has_space))
+            # R rows (distinct within batch)
+            sel = batch.filter(full_mask)
+            for c, v in zip(sel.column("conv_id").to_pylist(),
+                            sel.column(col).to_pylist()):
+                if (c, v) not in seen_r:
+                    seen_r.add((c, v))
+                    kinds.append("R")
+                    k1s.append(c)
+                    k2s.append(v.rsplit(" ", 1)[1] + "\x01" + v)
+                    ns.append(1)
+            # S rows: everything that is not a bare surname
+            for vc in pc.value_counts(pc.drop_null(
+                    pc.if_else(bare_mask, pa.nulls(len(vals), pa.string()), vals))):
+                kinds.append("S")
+                k1s.append(vc["values"].as_py())
+                k2s.append("")
+                ns.append(vc["counts"].as_py())
+            # B rows: bare surname counts per conversation
+            selb = batch.filter(bare_mask)
+            if selb.num_rows:
+                key = pc.binary_join_element_wise(
+                    selb.column("conv_id"), selb.column(col), "\x01")
+                for vc in pc.value_counts(key.combine_chunks()):
+                    kinds.append("B")
+                    c, v = vc["values"].as_py().split("\x01", 1)
+                    k1s.append(c)
+                    k2s.append(v)
+                    ns.append(vc["counts"].as_py())
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "k1": pa.array(k1s, pa.string()),
+                         "k2": pa.array(k2s, pa.string()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = grouped_aggregate(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
+    pdf = agg.to_pandas()
+
+    # registry from R rows: exactly one full per (conv, surname)
+    r = pdf[pdf["kind"] == "R"].copy()
+    registry: dict[tuple[str, str], str] = {}
+    if len(r):
+        sp = r["k2"].str.split("\x01", n=1, expand=True)
+        r["surname"], r["full"] = sp[0], sp[1]
+        g = r.groupby(["k1", "surname"])["full"].agg(["nunique", "first"]).reset_index()
+        g = g[g["nunique"] == 1]
+        registry = dict(zip(zip(g["k1"], g["surname"]), g["first"]))
+
+    # canonical counts: S surfaces + registry-resolved B surnames
+    from collections import Counter
+    counts: Counter = Counter()
+    s = pdf[pdf["kind"] == "S"]
+    for surf, n in zip(s["k1"], s["n"]):
+        counts[surf] += int(n)
+    b = pdf[pdf["kind"] == "B"]
+    for conv, surname, n in zip(b["k1"], b["k2"], b["n"]):
+        counts[registry.get((conv, surname), surname)] += int(n)
+    best: dict[str, tuple[int, str]] = {}
+    for surface, n in counts.items():
+        norm = _norm_surface(surface)
+        cur = best.get(norm)
+        if cur is None or (-n, surface) < (-cur[0], cur[1]):
+            best[norm] = (n, surface)
+    canon = {norm: surf for norm, (_, surf) in best.items()}
+    return registry, canon
+
+
 class LinkCanonRewriter:
     """Fused link + canonicalize rewrite: resolve bare PERSON surnames via
     the broadcast registry, then map every surface through the canonical
@@ -209,25 +299,36 @@ def build_canonical_map_from_registry(
             self.reg = _ray.get(reg_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
             from collections import Counter
+
             c: Counter = Counter()
-            convs = batch.column("conv_id").to_pylist()
             for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-                vals = batch.column(col).to_pylist()
-                typs = batch.column(tcol).to_pylist()
-                for cv, v, t in zip(convs, vals, typs):
-                    if t == "PERSON" and " " not in v:
-                        v = self.reg.get((cv, v), v)
-                    c[v] += 1
+                vals = batch.column(col).combine_chunks()
+                bare = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                               pc.invert(pc.match_substring(vals, " ")))
+                # non-bare surfaces: C-speed value_counts
+                for vc in pc.value_counts(pc.drop_null(
+                        pc.if_else(bare, pa.nulls(len(vals), pa.string()), vals))):
+                    c[vc["values"].as_py()] += vc["counts"].as_py()
+                # bare surnames: resolve through the registry (few rows)
+                sel = batch.filter(bare)
+                for cv, v in zip(sel.column("conv_id").to_pylist(),
+                                 sel.column(col).to_pylist()):
+                    c[self.reg.get((cv, v), v)] += 1
             ks = list(c.keys())
             return pa.table({"surface": pa.array(ks, pa.string()),
                              "n": pa.array([c[k] for k in ks], pa.int64())})
 
     from ..functions.shuffle import grouped_aggregate
 
+    try:
+        pool_max = max(2, int(_ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pool_max = 8
     counts = grouped_aggregate(
         edges.map_batches(SurfaceCounts, batch_format="pyarrow",
-                          concurrency=(1, 8)),
+                          concurrency=(1, pool_max)),
         keys=["surface"], specs=[("n", "sum")], rename={"n_sum": "n"},
     ).to_pandas()
     best: dict[str, tuple[int, str]] = {}
