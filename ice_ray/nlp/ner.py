@@ -41,16 +41,20 @@ def find_mentions(
     mentions: list[Mention] = []
     taken: list[tuple[int, int]] = []
     i = 0
+    get = entity_dict.get
     while i < n:
         matched = 0
         mtype = None
         limit = min(max_phrase_len, n - i)
-        for ln in range(limit, 0, -1):
-            key = tuple(t[2] for t in tokens[i : i + ln])
-            etype = entity_dict.get(key)
+        for ln in range(limit, 1, -1):
+            etype = get(tuple(t[2] for t in tokens[i : i + ln]))
             if etype is not None:
                 matched, mtype = ln, etype
                 break
+        if not matched:
+            etype = get((tokens[i][2],))
+            if etype is not None:
+                matched, mtype = 1, etype
         if matched:
             s = tokens[i][0]
             e = tokens[i + matched - 1][1]

@@ -21,6 +21,10 @@ from .stemmer import stem
 _NUM_RE = re.compile(r"^\$?\d+(?:[.,]\d+)*$")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
 def tag_token(surface: str, is_sent_start: bool) -> str:
     w = surface.lower()
     if _NUM_RE.match(surface):
