@@ -312,6 +312,24 @@ def _q_pmi_index(sf_dir: str):
     return build_pmi_index(annotate(_synth_transcripts(1500)))
 
 
+def _q_path_instance_counts(sf_dir: str):
+    from ice_ray.pipelines.kg import extract_paths
+    from ice_ray.pipelines.relations import path_instance_counts
+    return path_instance_counts(extract_paths(_synth_transcripts(1500)))
+
+
+def _q_bpe_tokens(sf_dir: str):
+    from ice_ray.stages.textstats import bpe_token_stats
+    return _docs(sf_dir).map_batches(bpe_token_stats, batch_format="pyarrow")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+    from ice_ray.stages.similarity import embedding_neardup_pairs
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.9)
+
+
 def _q_knn_lsh(sf_dir: str):
     """LSH-bucketed ANN candidates: bucket ids per vector (scale path)."""
     import ray.data
@@ -357,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_counts": _q_tree_counts,
         "ice_terms": _q_ice_terms,
         "pmi_index": _q_pmi_index,
+        "path_instance_counts": _q_path_instance_counts,
+        "bpe_tokens": _q_bpe_tokens,
+        "embedding_neardup": _q_embedding_neardup,
         "annotations": _q_annotations,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,

@@ -66,6 +66,12 @@ def path_type_counts(paths: "ray.data.Dataset",
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def path_instance_counts(paths: "ray.data.Dataset") -> "ray.data.Dataset":
+    """groupby(instance key ``arg1 -- path -- arg2``) → count — the
+    relationInstanceCounts table (G1, DepPaths.java:386, 678-691)."""
+    return key_counts(paths, "instance_key", alias="count")
+
+
 def key_counts(ds: "ray.data.Dataset", col: str,
                alias: str = "count") -> "ray.data.Dataset":
     """Generic pre-aggregated groupby(col).count() (G1/G5)."""

@@ -207,6 +207,8 @@ def build_link_state(edges: "ray.data.Dataset"):
         edges.map_batches(partial, batch_format="pyarrow"),
         keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = agg.to_pandas()
+    if pdf.empty or "kind" not in pdf.columns:
+        return {}, {}
 
     # registry from R rows: exactly one full per (conv, surname)
     r = pdf[pdf["kind"] == "R"].copy()

@@ -126,6 +126,46 @@ def knn_multi_query(ds, queries: np.ndarray, k: int = 10, col: str = "embedding"
     return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
 
+def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
+                            seed: int = 42, col: str = "embedding",
+                            max_bucket: int = 256):
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH candidate
+    buckets, exact pairwise cosine verification inside each bucket
+    (bounded by ``max_bucket`` — oversized buckets verify against the
+    bucket head only, logged via the truncated flag column)."""
+    import pandas as pd
+
+    dim = len(ds.take(1)[0][col])
+    bucketed = ds.map_batches(
+        HyperplaneBucketer, batch_format="pyarrow",
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
+                               "seed": seed, "col": col},
+        concurrency=(1, 8))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(df[col].tolist(), dtype=np.float64)
+        ids = df["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        n = len(df)
+        truncated = n > max_bucket
+        if truncated:
+            mn, ids = mn[:max_bucket], ids[:max_bucket]
+            n = max_bucket
+        cos = mn @ mn.T
+        out = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                c = round(float(cos[i, j]), 6)
+                if c >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out.append((a, b, c, truncated))
+        return pd.DataFrame(out, columns=["id1", "id2", "cosine", "truncated"])
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
 class HyperplaneBucketer:
     """Random-hyperplane LSH bucket ids (scale path for ANN): vectors in
     the same ``bucket`` are cosine-close candidates; search probes the

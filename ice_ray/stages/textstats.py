@@ -80,6 +80,21 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("n_chars_norm", pa.array(n_chars, pa.int64())))
 
 
+# GPT-2-style pre-tokenizer pattern (public), ASCII approximation of the
+# \p{L}/\p{N} classes — a "BPE-ish" token counter for budget estimation
+_BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+
+def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-document BPE-ish pre-token count (the training-data token
+    budgeting operator; whitespace token count lives in token_stats)."""
+    counts = [len(_BPE_RE.findall(text or ""))
+              for text in batch.column(text_col).to_pylist()]
+    return pa.table({"doc_id": batch.column("doc_id"),
+                     "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality score in [0,1]."""
     ids = batch.column("doc_id")
