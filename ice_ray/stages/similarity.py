@@ -161,7 +161,9 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
                 if c >= threshold:
                     a, b = sorted((int(ids[i]), int(ids[j])))
                     out.append((a, b, c, truncated))
-        return pd.DataFrame(out, columns=["id1", "id2", "cosine", "truncated"])
+        return pd.DataFrame(out, columns=["id1", "id2", "cosine", "truncated"]) \
+            .astype({"id1": "int64", "id2": "int64",
+                     "cosine": "float64", "truncated": "bool"})
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
 

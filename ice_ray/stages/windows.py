@@ -50,6 +50,42 @@ def sessionize(events, gap_minutes: float = 30.0):
         fn_kwargs={"gap_minutes": gap_minutes})
 
 
+def sliding_counts(events, window_minutes: int = 60, slide_minutes: int = 15):
+    """Sliding window per event_type: each event lands in
+    window_minutes/slide_minutes overlapping windows; per-batch explode +
+    partial counts, then one bucketed aggregate.  Output
+    (window_start, event_type, n, value_sum)."""
+    import datetime as _dt
+
+    from ..functions.shuffle import grouped_aggregate
+
+    k = window_minutes // slide_minutes
+    slide_us = slide_minutes * 60 * 1_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())  # µs since epoch
+        base = pc.multiply(pc.divide(ts, slide_us), slide_us)
+        tables = []
+        for i in range(k):
+            start = pc.subtract(base, i * slide_us)
+            t = pa.table({
+                "window_start": pc.cast(start, pa.timestamp("us")),
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+            })
+            tables.append(t)
+        exp = pa.concat_tables(tables)
+        g = exp.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        return g.rename_columns(["window_start", "event_type", "n", "value_sum"])
+
+    return grouped_aggregate(
+        events.map_batches(explode, batch_format="pyarrow"),
+        keys=["window_start", "event_type"],
+        specs=[("n", "sum"), ("value_sum", "sum")],
+        rename={"n_sum": "n", "value_sum_sum": "value_sum"})
+
+
 def top_users_by_value(events, k: int = 10):
     """Top-k users by Σvalue, deterministic tie-break on user_id."""
     from ..functions.shuffle import grouped_aggregate
