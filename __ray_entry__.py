@@ -324,10 +324,18 @@ def _q_bpe_tokens(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    import pandas as pd
+
     import ray.data
     from ice_ray.stages.similarity import embedding_neardup_pairs
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.9)
+    df = embedding_neardup_pairs(emb, threshold=0.9).to_pandas()
+    if df.empty:  # fully-empty map_groups output loses its schema in Ray
+        df = pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                           "id2": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64"),
+                           "truncated": pd.Series(dtype="bool")})
+    return df
 
 
 def _q_knn_lsh(sf_dir: str):

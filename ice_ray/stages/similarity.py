@@ -165,7 +165,17 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
             .astype({"id1": "int64", "id2": "int64",
                      "cosine": "float64", "truncated": "bool"})
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    schema = pa.schema([("id1", pa.int64()), ("id2", pa.int64()),
+                        ("cosine", pa.float64()), ("truncated", pa.bool_())])
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # empty groups lose their schema through pandas; restore it
+        if t.num_rows == 0 or not t.column_names:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return (bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+            .map_batches(coerce, batch_format="pyarrow"))
 
 
 class HyperplaneBucketer:
