@@ -105,7 +105,7 @@ def run_scaling() -> dict:
     # bigger input for the scaling measurement so per-execution fixed
     # overheads don't mask the compute scaling (same input at both levels)
     scale_turns = int(os.environ.get("GRAFT_SCALE_TURNS",
-                                     str(max(N_TURNS, 2_000_000))))
+                                     str(max(N_TURNS, 4_000_000))))
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
