@@ -18,10 +18,17 @@ from ..nlp.tokenizer import split_sentences, tokenize
 Annotations = dict  # keys: sentences, tokens, mentions, deps
 
 
-def annotate_text(text: str, entity_dict: dict, max_phrase_len: int) -> Annotations:
+def annotate_text(text: str, entity_dict: dict, max_phrase_len: int,
+                  lower_entity_dict: dict | None = None) -> Annotations:
     """→ {sentences: [(s,e)], tokens: [(s,e,word,pos)] (mention-collapsed),
     mentions: [(s,e,hs,he,type,mtype)], deps: [rel tuples]} with char
-    offsets into ``text``."""
+    offsets into ``text``.
+
+    Monocase (P2, ``Ace.monocase = Ace.allLowerCase(doc)``,
+    IcePreprocessor.java:213): when the turn contains no uppercase letter
+    and ``lower_entity_dict`` is provided, NER folds case."""
+    monocase = (lower_entity_dict is not None
+                and not any(c.isupper() for c in text))
     sentences = split_sentences(text)
     all_tokens: list[tuple[int, int, str, str]] = []
     all_mentions: list[tuple[int, int, int, int, str, str]] = []
@@ -31,7 +38,11 @@ def annotate_text(text: str, entity_dict: dict, max_phrase_len: int) -> Annotati
         if not toks:
             continue
         pos_tags = [tag_token(w, i == 0) for i, (_, _, w) in enumerate(toks)]
-        mentions = find_mentions(toks, entity_dict, max_phrase_len)
+        if monocase:
+            mentions = find_mentions(toks, lower_entity_dict, max_phrase_len,
+                                     fold_case=True)
+        else:
+            mentions = find_mentions(toks, entity_dict, max_phrase_len)
         ctoks = collapse_mentions(toks, pos_tags, mentions)
         rs = parse_sentence(ctoks)
         all_tokens.extend(ctoks)

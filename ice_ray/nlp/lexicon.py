@@ -110,3 +110,8 @@ def build_entity_dict(extra_sets: dict[str, list[str]] | None = None) -> dict[tu
 
 def max_entity_phrase_len(entity_dict: dict[tuple[str, ...], str]) -> int:
     return max((len(k) for k in entity_dict), default=1)
+
+
+def lower_entity_dict(entity_dict: dict[tuple[str, ...], str]) -> dict[tuple[str, ...], str]:
+    """Lowercase-keyed view for monocase documents (P2)."""
+    return {tuple(w.lower() for w in k): v for k, v in entity_dict.items()}

@@ -34,25 +34,33 @@ def find_mentions(
     tokens: list[tuple[int, int, str]],
     entity_dict: dict[tuple[str, ...], str],
     max_phrase_len: int,
+    fold_case: bool = False,
 ) -> list[Mention]:
     """Longest-match dictionary names first, then NUMBER/MONEY/TIME with
-    crossing suppression.  Returns mentions sorted by start offset."""
+    crossing suppression.  Returns mentions sorted by start offset.
+    ``fold_case=True`` is monocase mode (Ace.monocase analog,
+    IcePreprocessor.java:213): lookups fold to lowercase — the dict must
+    then be lowercase-keyed."""
     n = len(tokens)
     mentions: list[Mention] = []
     taken: list[tuple[int, int]] = []
     i = 0
     get = entity_dict.get
+
+    def word(j: int) -> str:
+        return tokens[j][2].lower() if fold_case else tokens[j][2]
+
     while i < n:
         matched = 0
         mtype = None
         limit = min(max_phrase_len, n - i)
         for ln in range(limit, 1, -1):
-            etype = get(tuple(t[2] for t in tokens[i : i + ln]))
+            etype = get(tuple(word(j) for j in range(i, i + ln)))
             if etype is not None:
                 matched, mtype = ln, etype
                 break
         if not matched:
-            etype = get((tokens[i][2],))
+            etype = get((word(i),))
             if etype is not None:
                 matched, mtype = 1, etype
         if matched:

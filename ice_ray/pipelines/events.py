@@ -11,7 +11,11 @@ import pyarrow as pa
 
 from ..core.annotate import annotate_text
 from ..core.trees import extract_trees_from_turn
-from ..nlp.lexicon import build_entity_dict, max_entity_phrase_len
+from ..nlp.lexicon import (
+    build_entity_dict,
+    lower_entity_dict,
+    max_entity_phrase_len,
+)
 
 TREE_COLUMNS = ["conv_id", "turn_idx", "trigger", "core", "repr"]
 
@@ -21,6 +25,7 @@ class AnnotateExtractTrees:
 
     def __init__(self, extra_entity_sets: dict | None = None):
         self.entity_dict = build_entity_dict(extra_entity_sets)
+        self.lower_dict = lower_entity_dict(self.entity_dict)
         self.max_len = max_entity_phrase_len(self.entity_dict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -30,7 +35,8 @@ class AnnotateExtractTrees:
         out: dict[str, list] = {c: [] for c in TREE_COLUMNS}
         for cid, ti, text in zip(conv, tidx, texts):
             text = text or ""
-            ann = annotate_text(text, self.entity_dict, self.max_len)
+            ann = annotate_text(text, self.entity_dict, self.max_len,
+                                self.lower_dict)
             for row in extract_trees_from_turn(
                     text, ann["sentences"], ann["tokens"], ann["mentions"],
                     ann["deps"]):

@@ -34,6 +34,24 @@ def sparse_cosine(a: dict[str, float], b: dict[str, float]) -> float:
     return dot / (na * nb) if na and nb else 0.0
 
 
+def inv_cosine(a: dict[str, float], b: dict[str, float]) -> float:
+    """Gravitation ``invCosine``: |a||b| / (a·b + 1e-8)
+    (entityset/EntitySetExpander.java Gravitation.invCosine:518-532)."""
+    small, big = (a, b) if len(a) <= len(b) else (b, a)
+    dot = 1e-8 + sum(x * big.get(k, 0.0) for k, x in small.items())
+    na = math.sqrt(sum(x * x for x in a.values()))
+    nb = math.sqrt(sum(x * x for x in b.values()))
+    return (na * nb) / dot
+
+
+def gravitation(max1: float, max2: float,
+                c1: dict[str, float], c2: dict[str, float]) -> float:
+    """Cluster affinity ``max1·max2 / invCosine(c1,c2)²`` (F4,
+    Gravitation.compute:534-539)."""
+    r = inv_cosine(c1, c2)
+    return max1 * max2 / (r * r)
+
+
 def centroid_of(index: dict[str, dict[str, float]], seeds: list[str],
                 negatives: list[str] | None = None,
                 gamma: float = EXPANDER_GAMMA) -> dict[str, float]:

@@ -20,7 +20,11 @@ import pyarrow as pa
 
 from ..core.annotate import annotate_text
 from ..core.extract import extract_paths_from_turn
-from ..nlp.lexicon import build_entity_dict, max_entity_phrase_len
+from ..nlp.lexicon import (
+    build_entity_dict,
+    lower_entity_dict,
+    max_entity_phrase_len,
+)
 
 _I32 = pa.int32()
 
@@ -44,13 +48,15 @@ class Annotator:
 
     def __init__(self, extra_entity_sets: dict | None = None):
         self.entity_dict = build_entity_dict(extra_entity_sets)
+        self.lower_dict = lower_entity_dict(self.entity_dict)
         self.max_len = max_entity_phrase_len(self.entity_dict)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         sents, toks, ments, deps = [], [], [], []
         for text in texts:
-            ann = annotate_text(text or "", self.entity_dict, self.max_len)
+            ann = annotate_text(text or "", self.entity_dict, self.max_len,
+                               self.lower_dict)
             sents.append([{"start": s, "end": e} for s, e in ann["sentences"]])
             toks.append([{"start": s, "end": e, "word": w, "pos": p}
                          for s, e, w, p in ann["tokens"]])
@@ -77,6 +83,7 @@ class AnnotateExtract:
     def __init__(self, extra_entity_sets: dict | None = None,
                  max_intervening: int = 3, emit_repr: bool = True):
         self.entity_dict = build_entity_dict(extra_entity_sets)
+        self.lower_dict = lower_entity_dict(self.entity_dict)
         self.max_len = max_entity_phrase_len(self.entity_dict)
         self.max_intervening = max_intervening
         self.emit_repr = emit_repr
@@ -89,7 +96,8 @@ class AnnotateExtract:
         out: dict[str, list] = {c: [] for c in self.columns}
         for cid, ti, text in zip(conv, tidx, texts):
             text = text or ""
-            ann = annotate_text(text, self.entity_dict, self.max_len)
+            ann = annotate_text(text, self.entity_dict, self.max_len,
+                                self.lower_dict)
             for row in extract_paths_from_turn(
                     text, ann["sentences"], ann["tokens"], ann["mentions"],
                     ann["deps"], self.max_intervening,
