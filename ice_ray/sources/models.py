@@ -49,6 +49,26 @@ def load_rules(path: str | Path) -> dict[str, str]:
     return rules
 
 
+def save_onoma(entity_sets: dict[str, list[str]], path: str | Path) -> None:
+    """Write the name → type dictionary ('iceOnoma.dict' analog,
+    JetEngineBuilder.buildOnoma, models/JetEngineBuilder.java:140-156):
+    tab-separated ``name\\tTYPE`` lines, sorted."""
+    with open(path, "w") as f:
+        for etype, names in sorted(entity_sets.items()):
+            for name in sorted(names):
+                f.write(f"{name}\t{etype}\n")
+
+
+def load_onoma(path: str | Path) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for line in Path(path).read_text().splitlines():
+        if "\t" not in line:
+            continue
+        name, _, etype = line.partition("\t")
+        out.setdefault(etype, []).append(name)
+    return out
+
+
 def save_session(state: dict, path: str | Path) -> None:
     """JSON session manifest — the ice.yml analog (controllers/Nice.java:49-59)."""
     Path(path).write_text(json.dumps(state, indent=2, sort_keys=True))

@@ -47,6 +47,21 @@ def test_session_store_roundtrip(tmp_path):
     assert load_session(p) == state
 
 
+def test_onoma_roundtrip(tmp_path):
+    from ice_ray.sources.models import load_onoma, save_onoma
+
+    sets = {"DRUGS": ["heroin", "cocaine"], "GPE": ["Chicago"]}
+    p = tmp_path / "iceOnoma.dict"
+    save_onoma(sets, p)
+    got = load_onoma(p)
+    assert {k: sorted(v) for k, v in got.items()} == \
+        {k: sorted(v) for k, v in sets.items()}
+    # extra sets feed the annotator dictionary (A2/A3)
+    from ice_ray.nlp.lexicon import build_entity_dict
+    d = build_entity_dict(got)
+    assert d[("heroin",)] == "DRUGS"
+
+
 def test_rules_file_roundtrip(tmp_path):
     from ice_ray.sources.models import DEFAULT_RELATION_RULES, load_rules, save_rules
 
