@@ -300,6 +300,12 @@ def _q_tree_counts(sf_dir: str):
                                           concurrency=(1, 2)))
 
 
+def _q_events_decoded(sf_dir: str):
+    from ice_ray.pipelines.events import decode_events, extract_trees
+    return decode_events(extract_trees(_synth_transcripts(1500),
+                                       concurrency=(1, 2)))
+
+
 def _q_ice_terms(sf_dir: str):
     from ice_ray.pipelines.preprocess import annotate
     from ice_ray.pipelines.terms import ice_term_counts
@@ -381,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "path_type_counts": _q_path_type_counts,
         "tree_counts": _q_tree_counts,
+        "events_decoded": _q_events_decoded,
         "ice_terms": _q_ice_terms,
         "pmi_index": _q_pmi_index,
         "path_instance_counts": _q_path_instance_counts,

@@ -94,6 +94,60 @@ def tree_type_counts(trees, min_freq: int = 1):
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+DEFAULT_EVENT_RULES: dict[str, str] = {
+    # lemmatized key-signature prefix "trigger nsubj:TYPE dobj:TYPE" →
+    # event type (the event-model export consumed at decode,
+    # JetEngineBuilder.buildEventModel analog)
+    "promote nsubj:ORGANIZATION dobj:PERSON": "PROMOTION",
+    "meet nsubj:PERSON dobj:PERSON": "MEETING",
+    "seize nsubj:PERSON dobj:OTHER": "SEIZURE",
+    "discuss nsubj:OTHER dobj:OTHER": "DISCUSSION",
+    "review nsubj:OTHER dobj:OTHER": "REVIEW",
+}
+
+
+def _core_prefix(core: str) -> str:
+    """Key-signature with argument values stripped: ``trigger role:TYPE ...``."""
+    parts = core.split(" ")
+    out = [parts[0]]
+    for p in parts[1:]:
+        role_type = p.split("=", 1)[0]
+        out.append(role_type)
+    return " ".join(out)
+
+
+class EventTagger:
+    """Tree rows → typed event rows via broadcast event rules (exact
+    match on the value-stripped key signature — the events analog of the
+    relation decode's J4 lookup)."""
+
+    def __init__(self, rules_ref=None):
+        import ray as _ray
+
+        rules = (_ray.get(rules_ref) if isinstance(rules_ref, _ray.ObjectRef)
+                 else rules_ref) or DEFAULT_EVENT_RULES
+        self.rules = dict(rules)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cores = batch.column("core").to_pylist()
+        etypes = [self.rules.get(_core_prefix(c)) for c in cores]
+        keep = pa.array([e is not None for e in etypes])
+        t = batch.append_column(
+            "event_type", pa.array([e or "" for e in etypes], pa.string()))
+        return t.filter(keep)
+
+
+def decode_events(trees, rules: dict[str, str] | None = None,
+                  concurrency=(1, 8)):
+    """trees → (conv_id, turn_idx, trigger, core, repr, event_type)."""
+    import ray as _ray
+
+    rules_ref = _ray.put(rules or DEFAULT_EVENT_RULES)
+    return trees.map_batches(EventTagger, batch_format="pyarrow",
+                             fn_constructor_kwargs={"rules_ref": rules_ref},
+                             concurrency=concurrency)
+
+
 def event_bootstrap_score(shared: int, total: int) -> float:
     """Event bootstrap score ``s/t · s/(s+1)``
     (EventBootstrap.java:379-394)."""

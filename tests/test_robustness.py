@@ -1,0 +1,77 @@
+"""Fuzz/property tests for the NLP kernels, event decode, and a
+larger-scale P/R run (scale-dependent-bug canary)."""
+
+import random
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ice_ray.core.annotate import annotate_text
+from ice_ray.core.extract import extract_paths_from_turn
+from ice_ray.nlp.lexicon import build_entity_dict, max_entity_phrase_len
+from ice_ray.nlp.stemmer import stem
+
+_ED = build_entity_dict()
+_ML = max_entity_phrase_len(_ED)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_annotate_extract_never_crashes(text):
+    ann = annotate_text(text, _ED, _ML)
+    rows = extract_paths_from_turn(text, ann["sentences"], ann["tokens"],
+                                   ann["mentions"], ann["deps"])
+    for r in rows:
+        assert r["typed_path"].count(" -- ") == 2
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=string.ascii_letters, min_size=1, max_size=20))
+def test_stemmer_idempotent(word):
+    s = stem(word)
+    assert stem(s) == s or len(stem(s)) <= len(s)  # stems don't grow
+
+
+def test_annotate_random_bytes_salad():
+    rng = random.Random(0)
+    for _ in range(50):
+        text = "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 400)))
+        ann = annotate_text(text, _ED, _ML)
+        extract_paths_from_turn(text, ann["sentences"], ann["tokens"],
+                                ann["mentions"], ann["deps"])
+
+
+def test_event_decode(ray_session):
+    import ray.data
+
+    from ice_ray.pipelines.events import decode_events, extract_trees
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, _ = generate_transcripts(1200, seed=42)
+    decoded = decode_events(
+        extract_trees(ray.data.from_arrow(tr), concurrency=(1, 2))).to_pandas()
+    assert len(decoded) > 0
+    assert set(decoded["event_type"]) <= {"PROMOTION", "MEETING", "SEIZURE",
+                                          "DISCUSSION", "REVIEW"}
+    # every promotion row really is an ORG promoting a PERSON
+    promo = decoded[decoded["event_type"] == "PROMOTION"]
+    assert (promo["core"].str.startswith("promote nsubj:ORGANIZATION")).all()
+
+
+def test_kg_pr_at_scale(ray_session):
+    """20k turns through the full pipeline — catches bucket/registry bugs
+    that only appear with many conversations."""
+    import ray.data
+
+    from ice_ray.functions.prf import triple_prf
+    from ice_ray.pipelines.kg import build_kg
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, gold = generate_transcripts(20000, seed=13)
+    edges = build_kg(ray.data.from_arrow(tr)).to_pandas()
+    system = set(zip(edges["subj"], edges["pred"], edges["obj"]))
+    gold_set = set(zip(gold["subj"].to_pylist(), gold["pred"].to_pylist(),
+                       gold["obj"].to_pylist()))
+    prf = triple_prf(system, gold_set)
+    assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95, prf
