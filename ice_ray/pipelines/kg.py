@@ -230,3 +230,95 @@ def run_kg_job(input_files: list[str], out_dir: str,
     stats.update({"groups": len(groups), "groups_skipped": skipped,
                   "raw_edges": man.total_rows()})
     return stats
+
+
+def refresh_kg_job(input_files: list[str], out_dir: str,
+                   changed_terms: list[str],
+                   rules: dict[str, str] | None = None,
+                   extra_entity_sets: dict | None = None,
+                   cfg: PipelineConfig | None = None,
+                   group_size: int = 8) -> dict:
+    """Incremental re-extraction after an entity-set change — the
+    DepPathsLog / ``dpidIsClean`` memo at turn granularity
+    (models/DepPaths.java:226-231, 585-676: a doc is "clean" and reuses
+    its cached paths iff it contains no entity-set token).
+
+    Turns whose text contains any of ``changed_terms`` are re-extracted
+    with the new dictionary; clean turns keep their checkpointed raw
+    edges.  The cheap global phase (link/canonicalize/dedup/write) then
+    reruns over the merged raw edges.
+    """
+    import pyarrow.compute as pc_
+
+    cfg = cfg or PipelineConfig()
+    rules = rules if rules is not None else DEFAULT_RELATION_RULES
+    terms = [t for t in changed_terms if t]
+    man = Manifest(os.path.join(out_dir, "raw_edges_manifest.json"))
+    groups = [sorted(input_files)[i:i + group_size]
+              for i in range(0, len(input_files), group_size)]
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    dirty_total = 0
+    param_fp = fingerprint_params(rules=sorted(rules.items()),
+                                  mi=cfg.max_intervening_mentions,
+                                  soft=cfg.soft_match,
+                                  extra=sorted((extra_entity_sets or {}).items()),
+                                  changed=sorted(terms))
+
+    def mark_dirty(batch: pa.Table) -> pa.Table:
+        dirty = None
+        for t in terms:
+            m = pc_.match_substring(batch.column("text"), t, ignore_case=True)
+            dirty = m if dirty is None else pc_.or_(dirty, m)
+        return batch.append_column("_dirty", dirty)
+
+    for gi, files in enumerate(groups):
+        gid = f"group={gi:05d}"
+        gdir = os.path.join(out_dir, "raw_edges", gid)
+        ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
+                                   override_num_blocks=max(len(files), ncpu * 4))
+        marked = ds.map_batches(mark_dirty, batch_format="pyarrow")
+        dirty = marked.filter(expr="_dirty == True").drop_columns(["_dirty"])
+        n_dirty = dirty.count()
+        if n_dirty == 0:
+            continue
+        dirty_total += n_dirty
+        # dirty turn keys → drop their cached edges, append re-extractions
+        keys = {(r["conv_id"], r["turn_idx"])
+                for r in dirty.select_columns(["conv_id", "turn_idx"]).iter_rows()}
+        keys_ref = ray.put(keys)
+
+        class DropDirty:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = [(c, t) not in self.keys for c, t in
+                        zip(batch.column("conv_id").to_pylist(),
+                            batch.column("turn_idx").to_pylist())]
+                return batch.filter(pa.array(mask))
+
+        cached = ray.data.read_parquet(gdir).map_batches(
+            DropDirty, batch_format="pyarrow", concurrency=(1, 4))
+        new_paths = dirty.map_batches(
+            AnnotateExtract,
+            fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
+                                   "emit_repr": False,
+                                   "extra_entity_sets": extra_entity_sets},
+            batch_format="pyarrow",
+            batch_size=cfg.annotator_batch_size,
+            concurrency=cfg.annotator_concurrency)
+        new_edges = decode_edges(new_paths, rules, cfg)
+        merged = cached.union(new_edges)
+        tmp = gdir + ".tmp"
+        merged.write_parquet(tmp, mode="overwrite")
+        import shutil
+        shutil.rmtree(gdir)
+        os.replace(tmp, gdir)
+        man.mark_done(gid, fingerprint_files(files) + param_fp,
+                      ray.data.read_parquet(gdir).count())
+    raw = ray.data.read_parquet(os.path.join(out_dir, "raw_edges"))
+    final = dedup_edges(canonicalize_edges(raw))
+    stats = write_edges(final, out_dir, cfg.num_edge_partitions,
+                        fingerprint=param_fp)
+    stats.update({"dirty_turns": dirty_total, "groups": len(groups)})
+    return stats
