@@ -187,6 +187,21 @@ def _q_orders_by_status(sf_dir: str):
     return _round_col(agg, "total_price", 2)
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Two-large-sides partitioned hash join (guide's portable pattern):
+    orders ⋈ customer on custkey, then count per market segment."""
+    import ray.data
+    from ice_ray.functions.join import bucketed_hash_join
+    from ice_ray.pipelines.relations import key_counts
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
+    return key_counts(joined, "c_mktsegment", alias="n_orders")
+
+
 def _q_term_pmi(sf_dir: str):
     """PMI of adjacent-token (term, ctx) pairs — the two-stage PMI
     computation of G6 (EntitySetIndexer.java:297-343): partial pair counts
@@ -383,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn_cosine,
         "customer_nation": _q_customer_nation,
         "orders_by_status": _q_orders_by_status,
+        "orders_by_segment": _q_orders_by_segment,
         "term_pmi": _q_term_pmi,
         "kg_edges": _q_kg_edges,
         "path_type_counts": _q_path_type_counts,
@@ -502,6 +518,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
                    round(sum(o_totalprice), 2) AS total_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "term_pmi": f"""
             WITH toks AS (

@@ -32,22 +32,37 @@ def hourly_counts(events):
                              rename={"n_sum": "n", "value_sum_sum": "value_sum"})
 
 
-def _sessionize_group(df: pd.DataFrame, gap_minutes: float = 30.0) -> pd.DataFrame:
-    df = df.sort_values(["ts", "event_id"], kind="mergesort")
-    gaps = df["ts"].diff().dt.total_seconds().fillna(1e18)
-    session = (gaps > gap_minutes * 60).cumsum()
-    return pd.DataFrame({
-        "user_id": [df["user_id"].iloc[0]],
-        "n_sessions": [int(session.nunique())],
-        "n_events": [len(df)],
-    })
+def _sessionize_bucket(df: pd.DataFrame, gap_minutes: float = 30.0) -> pd.DataFrame:
+    """Sessionize every user inside one hash bucket, vectorized: sort by
+    (user, ts, event_id), session starts where the user changes or the
+    gap exceeds the threshold."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    new_user = df["user_id"].ne(df["user_id"].shift())
+    gap = df["ts"].diff().dt.total_seconds()
+    new_session = new_user | (gap > gap_minutes * 60)
+    out = (df.assign(_ns=new_session.astype(int))
+           .groupby("user_id", sort=False)
+           .agg(n_sessions=("_ns", "sum"), n_events=("_ns", "size"))
+           .reset_index())
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
 
 
-def sessionize(events, gap_minutes: float = 30.0):
-    """Session windows (gap-based) per user → (user_id, n_sessions, n_events)."""
-    return events.groupby("user_id").map_groups(
-        _sessionize_group, batch_format="pandas",
-        fn_kwargs={"gap_minutes": gap_minutes})
+def sessionize(events, gap_minutes: float = 30.0, num_buckets: int = 64):
+    """Session windows (gap-based) per user → (user_id, n_sessions,
+    n_events).  Users are hash-bucketed so the reduce runs B vectorized
+    pandas groups, not one Python call per user (assumption: one user's
+    events fit one bucket group)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(batch.column("user_id"),
+                                    num_buckets - 1), pa.int32())
+        return batch.append_column("_bucket", b)
+
+    return (events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(_sessionize_bucket, batch_format="pandas",
+                        fn_kwargs={"gap_minutes": gap_minutes}))
 
 
 def sliding_counts(events, window_minutes: int = 60, slide_minutes: int = 15):
