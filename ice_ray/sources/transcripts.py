@@ -152,6 +152,8 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
 def _conv_sizes(n_turns: int, seed: int) -> list[int]:
     """Zipf(1.1)-ish turn counts so hot conversations exist at every scale
     (the skew axis per FIXTURES.md)."""
+    if n_turns <= 0:
+        return []
     rs = np.random.RandomState(seed)
     sizes: list[int] = []
     total = 0
