@@ -131,17 +131,42 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["id1", "id2", "est_jaccard"])
 
 
+def _bucketed_band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    """Pair generation for all LSH bands hashed into one work bucket —
+    one Ray group per bucket, a vectorized pandas groupby inside (avoids
+    one Python task per (band_id, band_hash) group)."""
+    out = [pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                         "id2": pd.Series(dtype="int64"),
+                         "est_jaccard": pd.Series(dtype="float64")})]
+    for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+        if len(g) > 1:
+            out.append(_bucket_pairs(g))
+    return pd.concat(out, ignore_index=True)
+
+
 def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
-                          bands: int = 16, k: int = 3):
+                          bands: int = 16, k: int = 3,
+                          num_work_buckets: int = 64):
     """→ distinct (id1, id2, est_jaccard ≥ threshold) candidate pairs."""
+    import pyarrow.compute as pc
+
     from ..functions.shuffle import grouped_aggregate
 
     exploded = ds.map_batches(
         MinHasher, batch_format="pyarrow",
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
         concurrency=(1, 8))
-    pairs = (exploded.groupby(["band_id", "band_hash"])
-             .map_groups(_bucket_pairs, batch_format="pandas"))
+
+    def add_work_bucket(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.bit_wise_and(
+            pc.add(pc.multiply(pc.cast(batch.column("band_id"), pa.int64()), 1000003),
+                   batch.column("band_hash")),
+            num_work_buckets - 1), pa.int32())
+        return batch.append_column("_wb", b)
+
+    pairs = (exploded.map_batches(add_work_bucket, batch_format="pyarrow")
+             .groupby("_wb").map_groups(_bucketed_band_pairs,
+                                        batch_format="pandas"))
     verified = pairs.filter(expr=f"est_jaccard >= {threshold}")
     # a pair can surface from several bands → dedup on (id1, id2)
     return grouped_aggregate(verified, keys=["id1", "id2"],
