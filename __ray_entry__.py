@@ -106,6 +106,20 @@ def _q_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(token_stats, batch_format="pyarrow")
 
 
+def _q_tfidf(sf_dir: str):
+    from ice_ray.stages.textstats import tfidf_scores
+    return tfidf_scores(_docs(sf_dir))
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL sketch distinct-count (mergeable-sketch aggregate pattern)."""
+    import pandas as pd
+
+    from ice_ray.functions.sketches import approx_distinct
+    est = approx_distinct(_events(sf_dir), "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est)]})
+
+
 def _q_lang_counts(sf_dir: str):
     from ice_ray.pipelines.relations import key_counts
     return key_counts(_docs(sf_dir), "lang", alias="n")
@@ -392,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "token_stats": _q_token_stats,
         "lang_counts": _q_lang_counts,
+        "tfidf": _q_tfidf,
+        "approx_distinct_users": _q_approx_distinct_users,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
         "top_users": _q_top_users,
@@ -473,6 +489,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_counts": """
             SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "tfidf": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            filt AS (SELECT doc_id, term FROM toks
+                     WHERE length(term) > 1 AND term NOT IN ({_SW})),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM filt GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df
+                   FROM filt GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (term), n
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -80,6 +80,44 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("n_chars_norm", pa.array(n_chars, pa.int64())))
 
 
+def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-(doc, term) TF-IDF: ``tf · ln(N / df)`` with raw term counts
+    as tf.  Two passes: the (small) df table broadcast, then a per-batch
+    transform — no per-doc shuffle."""
+    import math
+
+    import ray
+
+    n_docs = ds.count()
+    df_pdf = term_counts(ds, text_col, id_col).to_pandas()
+    df_ref = ray.put(dict(zip(df_pdf["term"], df_pdf["doc_freq"])))
+
+    class Tfidf:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_out, terms_out, tf_out, score_out = [], [], [], []
+            for doc_id, text in zip(batch.column(id_col).to_pylist(),
+                                    batch.column(text_col).to_pylist()):
+                local: Counter = Counter(
+                    t for t in _WORD_RE.findall((text or "").lower())
+                    if len(t) > 1 and t not in TERM_STOPWORDS)
+                for t, tf in local.items():
+                    ids_out.append(doc_id)
+                    terms_out.append(t)
+                    tf_out.append(tf)
+                    score_out.append(round(tf * math.log(n_docs / self.df[t]), 6))
+            return pa.table({
+                id_col: pa.array(ids_out, pa.int64()),
+                "term": pa.array(terms_out, pa.string()),
+                "tf": pa.array(tf_out, pa.int64()),
+                "tfidf": pa.array(score_out, pa.float64()),
+            })
+
+    return ds.map_batches(Tfidf, batch_format="pyarrow", concurrency=(1, 8))
+
+
 # GPT-2-style pre-tokenizer pattern (public), ASCII approximation of the
 # \p{L}/\p{N} classes — a "BPE-ish" token counter for budget estimation
 _BPE_RE = re.compile(

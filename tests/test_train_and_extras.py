@@ -101,3 +101,24 @@ def test_empty_input_robustness(ray_session):
     }))
     edges = build_kg(empty).to_pandas()
     assert len(edges) == 0
+
+
+def test_hll_sketch_accuracy(ray_session):
+    import ray.data
+
+    from ice_ray.functions.sketches import HyperLogLog, approx_distinct
+
+    # pure sketch accuracy
+    h = HyperLogLog(12)
+    h.add_values([f"v{i}" for i in range(50000)])
+    assert abs(h.estimate() - 50000) / 50000 < 0.05
+    # merge = union semantics
+    h2 = HyperLogLog(12)
+    h2.add_values([f"v{i}" for i in range(25000, 75000)])
+    h.merge(h2)
+    assert abs(h.estimate() - 75000) / 75000 < 0.05
+    # distributed: events user_id distinct vs exact
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    exact = ev.to_pandas()["user_id"].nunique()
+    est = approx_distinct(ev, "user_id")
+    assert abs(est - exact) / max(exact, 1) < 0.1
