@@ -40,6 +40,9 @@ def _headline(corpus_dir: str) -> tuple[float, int]:
         annotator_concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
         annotator_batch_size=2048,
         tagger_concurrency=(1, max(2, NUM_CPUS // 4)),
+        # the scaling runs disable the distinct-text memo so both levels
+        # measure the same raw-compute job
+        extract_cache_max=int(os.environ.get("GRAFT_EXTRACT_CACHE", "100000")),
     )
     # block count bounds map-operator parallelism: one actor task per block
     ds = ray.data.read_parquet(os.path.join(corpus_dir, "transcripts"),
@@ -109,7 +112,8 @@ def run_scaling() -> dict:
 
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
-                   GRAFT_BENCH_TURNS=str(scale_turns))
+                   GRAFT_BENCH_TURNS=str(scale_turns),
+                   GRAFT_EXTRACT_CACHE=os.environ.get("GRAFT_EXTRACT_CACHE", "0"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

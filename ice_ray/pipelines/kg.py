@@ -47,7 +47,8 @@ def extract_paths(transcripts: "ray.data.Dataset",
     return transcripts.map_batches(
         AnnotateExtract,
         fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
-                               "emit_repr": emit_repr},
+                               "emit_repr": emit_repr,
+                               "cache_max": cfg.extract_cache_max},
         batch_format="pyarrow",
         batch_size=cfg.annotator_batch_size,
         concurrency=cfg.annotator_concurrency,

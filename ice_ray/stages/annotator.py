@@ -81,13 +81,33 @@ class AnnotateExtract:
     KG decode path uses just typed_path + args."""
 
     def __init__(self, extra_entity_sets: dict | None = None,
-                 max_intervening: int = 3, emit_repr: bool = True):
+                 max_intervening: int = 3, emit_repr: bool = True,
+                 cache_max: int = 100_000):
         self.entity_dict = build_entity_dict(extra_entity_sets)
         self.lower_dict = lower_entity_dict(self.entity_dict)
         self.max_len = max_entity_phrase_len(self.entity_dict)
         self.max_intervening = max_intervening
         self.emit_repr = emit_repr
         self.columns = PATH_COLUMNS if emit_repr else PATH_COLUMNS[:-2]
+        # distinct-text memo: extraction output depends only on the text,
+        # and transcripts repeat boilerplate (tool turns, templates)
+        # heavily — the per-turn analog of the reference's per-document
+        # DepPathsLog memo (DepPaths.java:226-231).  Capped, no eviction:
+        # misses simply recompute.
+        self.cache_max = cache_max
+        self._cache: dict[str, list] = {}
+
+    def _rows_for(self, text: str) -> list:
+        rows = self._cache.get(text)
+        if rows is None:
+            ann = annotate_text(text, self.entity_dict, self.max_len,
+                                self.lower_dict)
+            rows = extract_paths_from_turn(
+                text, ann["sentences"], ann["tokens"], ann["mentions"],
+                ann["deps"], self.max_intervening, emit_repr=self.emit_repr)
+            if len(self._cache) < self.cache_max:
+                self._cache[text] = rows
+        return rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv = batch.column("conv_id").to_pylist()
@@ -95,13 +115,7 @@ class AnnotateExtract:
         texts = batch.column("text").to_pylist()
         out: dict[str, list] = {c: [] for c in self.columns}
         for cid, ti, text in zip(conv, tidx, texts):
-            text = text or ""
-            ann = annotate_text(text, self.entity_dict, self.max_len,
-                                self.lower_dict)
-            for row in extract_paths_from_turn(
-                    text, ann["sentences"], ann["tokens"], ann["mentions"],
-                    ann["deps"], self.max_intervening,
-                    emit_repr=self.emit_repr):
+            for row in self._rows_for(text or ""):
                 out["conv_id"].append(cid)
                 out["turn_idx"].append(ti)
                 for k in row:
