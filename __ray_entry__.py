@@ -294,6 +294,18 @@ def _q_path_type_counts(sf_dir: str):
     return path_type_counts(extract_paths(_synth_transcripts()))
 
 
+def _q_bootstrap_candidates(sf_dir: str):
+    """Shared-argument bootstrap from the lives-in seed path (J3/C5)."""
+    from ice_ray.pipelines.bootstrap import bootstrap_shared_args
+    from ice_ray.pipelines.kg import extract_paths
+    paths = extract_paths(_synth_transcripts(2000)).materialize()
+    out = bootstrap_shared_args(paths, ["nsubj-1:live:prep:in:pobj"],
+                                min_shared=2)
+    import pandas as pd
+    return out if out is not None else pd.DataFrame(
+        {"path": [], "n_shared_pairs": [], "score": []})
+
+
 def _q_annotations(sf_dir: str):
     import ray.data
     from ice_ray.stages.annotator import Annotator
@@ -426,6 +438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": _q_bpe_tokens,
         "embedding_neardup": _q_embedding_neardup,
         "annotations": _q_annotations,
+        "bootstrap_candidates": _q_bootstrap_candidates,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "quality": _q_quality,
