@@ -131,22 +131,6 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def build_surname_registry(edges: "ray.data.Dataset") -> dict[tuple[str, str], str]:
-    """→ {(conv_id, surname): unique full name}; ambiguous surnames are
-    omitted (left unresolved, same as link_group)."""
-    from ..functions.shuffle import grouped_aggregate
-
-    agg = grouped_aggregate(
-        edges.map_batches(_registry_partial, batch_format="pyarrow"),
-        keys=["conv_id", "surname"],
-        specs=[("full", "min"), ("full", "max")],
-        rename={"full_min": "lo", "full_max": "hi"},
-    )
-    pdf = agg.to_pandas()
-    uniq = pdf[pdf["lo"] == pdf["hi"]]  # exactly one full name for this surname
-    return dict(zip(zip(uniq["conv_id"], uniq["surname"]), uniq["lo"]))
-
-
 def build_link_state(edges: "ray.data.Dataset"):
     """ONE pass over edges → (surname registry, canonical map).
 
@@ -155,8 +139,8 @@ def build_link_state(edges: "ray.data.Dataset"):
     S: non-bare surface counts; B: bare (conv, surname) counts —
     reduces them in one bucketed aggregate, and finishes on the driver
     (registry from R; canon counts = S + registry-resolved B).
-    Replaces build_surname_registry + build_canonical_map_from_registry
-    when both are needed (halves the tail executions)."""
+    One aggregate pass instead of separate registry/canonical passes
+    (halves the tail executions)."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -284,62 +268,6 @@ class LinkCanonRewriter:
         s = self._canon_col(self._link_col(batch, "subj", "subj_type"))
         o = self._canon_col(self._link_col(batch, "obj", "obj_type"))
         return batch.set_column(idx_s, "subj", s).set_column(idx_o, "obj", o)
-
-
-def build_canonical_map_from_registry(
-        edges: "ray.data.Dataset",
-        registry: dict[tuple[str, str], str]) -> dict[str, str]:
-    """Canonical map over *linked* surfaces without a second edge pass:
-    count raw surfaces (applying the registry per batch) in one small
-    aggregate, then reduce on the driver like build_canonical_map."""
-    import ray as _ray
-
-    reg_ref = _ray.put(registry)
-
-    class SurfaceCounts:
-        def __init__(self):
-            self.reg = _ray.get(reg_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            from collections import Counter
-
-            c: Counter = Counter()
-            for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-                vals = batch.column(col).combine_chunks()
-                bare = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                               pc.invert(pc.match_substring(vals, " ")))
-                # non-bare surfaces: C-speed value_counts
-                for vc in pc.value_counts(pc.drop_null(
-                        pc.if_else(bare, pa.nulls(len(vals), pa.string()), vals))):
-                    c[vc["values"].as_py()] += vc["counts"].as_py()
-                # bare surnames: resolve through the registry (few rows)
-                sel = batch.filter(bare)
-                for cv, v in zip(sel.column("conv_id").to_pylist(),
-                                 sel.column(col).to_pylist()):
-                    c[self.reg.get((cv, v), v)] += 1
-            ks = list(c.keys())
-            return pa.table({"surface": pa.array(ks, pa.string()),
-                             "n": pa.array([c[k] for k in ks], pa.int64())})
-
-    from ..functions.shuffle import grouped_aggregate
-
-    try:
-        pool_max = max(2, int(_ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        pool_max = 8
-    counts = grouped_aggregate(
-        edges.map_batches(SurfaceCounts, batch_format="pyarrow",
-                          concurrency=(1, pool_max)),
-        keys=["surface"], specs=[("n", "sum")], rename={"n_sum": "n"},
-    ).to_pandas()
-    best: dict[str, tuple[int, str]] = {}
-    for surface, n in zip(counts["surface"], counts["n"]):
-        norm = _norm_surface(surface)
-        cur = best.get(norm)
-        if cur is None or (-n, surface) < (-cur[0], cur[1]):
-            best[norm] = (int(n), surface)
-    return {norm: surf for norm, (_, surf) in best.items()}
 
 
 def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
