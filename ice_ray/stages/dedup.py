@@ -196,6 +196,70 @@ def neardup_clusters(pairs_ds, max_rounds: int = 10):
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def neardup_clusters_distributed(pairs_ds, max_rounds: int = 10):
+    """Connected components over the candidate-pair edge list as Ray
+    iterations: min-label propagation, each round = broadcast label map
+    → per-batch neighbor-label messages → one bucketed min aggregate.
+    Edges stream through the cluster; the broadcast is bounded by the
+    number of NODES touched by candidate pairs (≪ corpus — swap the
+    broadcast for functions/join.bucketed_hash_join when even that
+    outgrows memory).  Converges in O(component diameter) rounds with
+    early stop.  Returns a Dataset (doc_id, cluster)."""
+    import ray
+    import ray.data
+
+    from ..functions.shuffle import grouped_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # undirected edges → both directions + self rows
+        a = batch.column("id1")
+        b = batch.column("id2")
+        return pa.table({
+            "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    # initial label = own id
+    labels = grouped_aggregate(
+        edges.select_columns(["node"]).map_batches(
+            lambda t: t.append_column("label", t.column("node")),
+            batch_format="pyarrow"),
+        keys=["node"], specs=[("label", "min")], rename={"label_min": "label"},
+    ).materialize()
+
+    for _ in range(max_rounds):
+        lab_ref = ray.put({r["node"]: r["label"] for r in labels.iter_rows()})
+
+        class Propagate:
+            def __init__(self):
+                self.lab = ray.get(lab_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                nodes = batch.column("node").to_pylist()
+                nbrs = batch.column("nbr").to_pylist()
+                return pa.table({
+                    "node": pa.array(nodes, batch.column("node").type),
+                    "label": pa.array([self.lab[n] for n in nbrs],
+                                      batch.column("node").type),
+                })
+
+        msgs = edges.map_batches(Propagate, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+        with_self = msgs.union(labels)
+        new_labels = grouped_aggregate(
+            with_self, keys=["node"], specs=[("label", "min")],
+            rename={"label_min": "label"}).materialize()
+        old = {r["node"]: r["label"] for r in labels.iter_rows()}
+        new = {r["node"]: r["label"] for r in new_labels.iter_rows()}
+        labels = new_labels
+        if old == new:
+            break
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]),
+        batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash over word features; near-dups share bucket prefixes."""
 

@@ -148,3 +148,23 @@ def test_lsh_bucket_recall(ray_session):
                          fn_constructor_kwargs={"dim": dim, "n_planes": 6},
                         concurrency=2).to_pandas()
     assert dict(zip(b["vec_id"], b["bucket"])) == dict(zip(b2["vec_id"], b2["bucket"]))
+
+
+def test_neardup_clusters_distributed(ray_session):
+    import ray.data
+
+    from ice_ray.stages.dedup import neardup_clusters, neardup_clusters_distributed
+
+    # chain 0-1-2-3 (diameter 3) + separate pair (10, 11)
+    pairs = ray.data.from_items([
+        {"id1": 0, "id2": 1, "est_jaccard": 0.9},
+        {"id1": 1, "id2": 2, "est_jaccard": 0.9},
+        {"id1": 2, "id2": 3, "est_jaccard": 0.9},
+        {"id1": 10, "id2": 11, "est_jaccard": 0.9},
+    ])
+    dist = neardup_clusters_distributed(pairs).to_pandas()
+    got = dict(zip(dist["doc_id"], dist["cluster"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+    # agrees with the driver-side version
+    drv = neardup_clusters(pairs)
+    assert dict(zip(drv["doc_id"], drv["cluster"])) == got
