@@ -126,6 +126,69 @@ def knn_multi_query(ds, queries: np.ndarray, k: int = 10, col: str = "embedding"
     return pd.DataFrame(out, columns=["query_id", "vec_id", "cosine"])
 
 
+def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
+              refine_iters: int = 2):
+    """IVF index: deterministic k-means-lite — centroids seeded from the
+    first ``n_centroids`` vectors by vec_id, refined with
+    ``refine_iters`` Lloyd steps (partial sums per batch, merge on the
+    driver), then every vector assigned to its nearest centroid.
+    Returns (centroids ndarray, assigned Dataset with a ``centroid_id``
+    column)."""
+    seed_rows = ds.sort("vec_id").limit(n_centroids).take(n_centroids)
+    centroids = np.asarray([r[col] for r in seed_rows], dtype=np.float64)
+
+    import ray
+
+    for _ in range(refine_iters):
+        cref = ray.put(centroids)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            cen = ray.get(cref)
+            m = _batch_matrix(batch, col)
+            d = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            sums, counts = [], []
+            for k in range(len(cen)):
+                sel = m[assign == k]
+                sums.append(sel.sum(axis=0).tolist() if len(sel) else
+                            np.zeros(m.shape[1]).tolist())
+                counts.append(int(len(sel)))
+            return pa.table({"k": pa.array(range(len(cen)), pa.int32()),
+                             "s": pa.array(sums, pa.list_(pa.float64())),
+                             "n": pa.array(counts, pa.int64())})
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+        agg_s = np.zeros_like(centroids)
+        agg_n = np.zeros(len(centroids))
+        for k, s, n in zip(parts["k"], parts["s"], parts["n"]):
+            agg_s[k] += np.asarray(s)
+            agg_n[k] += n
+        nonzero = agg_n > 0
+        centroids[nonzero] = agg_s[nonzero] / agg_n[nonzero, None]
+
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cen = ray.get(cref)
+        m = _batch_matrix(batch, col)
+        d = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "centroid_id", pa.array(d.argmin(axis=1).astype("int32")))
+
+    return centroids, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_search(centroids: np.ndarray, assigned, query: np.ndarray,
+               k: int = 10, n_probe: int = 4, col: str = "embedding"):
+    """Probe the ``n_probe`` nearest centroid lists, exact cosine re-rank
+    inside them (prunes (1 − n_probe/n_centroids) of the corpus)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    cand = assigned.filter(expr=f"centroid_id in {probes!r}")
+    return knn_to_vector(cand, q, k=k, col=col)
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
                             seed: int = 42, col: str = "embedding",
                             max_bucket: int = 256):

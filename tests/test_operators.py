@@ -168,3 +168,25 @@ def test_neardup_clusters_distributed(ray_session):
     # agrees with the driver-side version
     drv = neardup_clusters(pairs)
     assert dict(zip(drv["doc_id"], drv["cluster"])) == got
+
+
+def test_ivf_ann(ray_session):
+    import numpy as np
+
+    import ray.data
+
+    from ice_ray.stages.similarity import ivf_build, ivf_search, knn_to_vector
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, assigned = ivf_build(emb, n_centroids=8)
+    assigned = assigned.materialize()
+    # every vector assigned to a valid list
+    pdf = assigned.to_pandas()
+    assert pdf["centroid_id"].between(0, 7).all()
+    assert pdf["centroid_id"].nunique() > 1
+    # recall vs brute force on one query
+    query = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+    exact = {r["vec_id"] for r in knn_to_vector(emb, query, k=10).take(10)}
+    approx = {r["vec_id"] for r in
+              ivf_search(centroids, assigned, query, k=10, n_probe=4).take(10)}
+    assert len(exact & approx) >= 5  # probing half the lists keeps recall
