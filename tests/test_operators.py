@@ -190,3 +190,19 @@ def test_ivf_ann(ray_session):
     approx = {r["vec_id"] for r in
               ivf_search(centroids, assigned, query, k=10, n_probe=4).take(10)}
     assert len(exact & approx) >= 5  # probing half the lists keeps recall
+
+
+def test_deterministic_sample(ray_session):
+    import ray.data
+
+    from ice_ray.functions.sampling import sample_n
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = sample_n(docs, 50, "doc_id", seed=7)
+    assert len(s1) == 50
+    # deterministic across runs and block layouts
+    s2 = sample_n(docs.repartition(13), 50, "doc_id", seed=7)
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    # different seed → different sample
+    s3 = sample_n(docs, 50, "doc_id", seed=8)
+    assert sorted(s1["doc_id"]) != sorted(s3["doc_id"])
