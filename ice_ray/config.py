@@ -79,6 +79,8 @@ class PipelineConfig:
     min_relation_type_freq: int = MIN_RELATION_TYPE_FREQ
     soft_match: bool = False               # decode: exact only (default) or +soft rules
     link_strategy: str = "broadcast"       # "broadcast" (registry fits memory) | "shuffle" (10^12-turn safe)
+    dirty_broadcast_max: int = 200_000     # refresh: dirty-key sets above this re-extract the whole group
+                                           # instead of broadcasting an unbounded key set
     extract_cache_max: int = 100_000       # distinct-text memo entries per annotator actor (0 = off)
     term_ranker_alpha: float = 1.0         # Ice.TermRanker.alpha
     # extension hooks: extra per-batch UDFs appended to stages by name

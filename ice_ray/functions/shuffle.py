@@ -17,20 +17,30 @@ bucket count B bounds reduce parallelism; skewed GROUP keys are fine
 
 from __future__ import annotations
 
-import zlib
-
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def hash_mod(col, num_buckets: int) -> pa.Array:
+    """Vectorized deterministic bucket ids for any column type: cast to
+    string once in Arrow, hash with pandas' cython siphash (fixed default
+    key → stable across processes/runs), mod the bucket count.  Replaces
+    per-row Python ``zlib.crc32`` loops in every bucketing stage."""
+    s = pc.cast(col, pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    h = pd.util.hash_pandas_object(s.to_pandas(), index=False).to_numpy()
+    return pa.array((h % num_buckets).astype("int32"), pa.int32())
+
+
 def _bucket_of(g: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
     cols = [pc.cast(g[k], pa.string()) for k in keys]
     joined = cols[0] if len(cols) == 1 else \
         pc.binary_join_element_wise(*cols, "\x01")
-    return pa.array([zlib.crc32(x.encode()) % num_buckets
-                     for x in joined.to_pylist()], pa.int32())
+    return hash_mod(joined, num_buckets)
 
 
 def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str]],

@@ -19,7 +19,6 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -166,9 +165,9 @@ def build_kg(transcripts: "ray.data.Dataset",
 
 
 def _add_pkey(batch: pa.Table, num_partitions: int) -> pa.Table:
-    pk = [zlib.crc32(s.encode()) % num_partitions
-          for s in batch.column("subj").to_pylist()]
-    return batch.append_column("pkey", pa.array(pk, pa.int32()))
+    from ..functions.shuffle import hash_mod
+    return batch.append_column(
+        "pkey", hash_mod(batch.column("subj"), num_partitions))
 
 
 def write_edges(edges: "ray.data.Dataset", out_dir: str,
@@ -176,17 +175,42 @@ def write_edges(edges: "ray.data.Dataset", out_dir: str,
                 fingerprint: str = "") -> dict:
     """Write the edge table partitioned by ``pkey = hash(subj) % P`` (the
     north rule's subject-hash layout) plus a per-partition manifest with
-    triple counts (lineage metrics)."""
+    triple counts (lineage metrics).  Per-partition counts are aggregated
+    from the SAME materialized dataset that is written — no re-read of
+    the written parquet just to count."""
     with_pkey = edges.map_batches(_add_pkey, batch_format="pyarrow",
-                                  fn_kwargs={"num_partitions": num_partitions})
+                                  fn_kwargs={"num_partitions": num_partitions}
+                                  ).materialize()
+    counts = with_pkey.groupby("pkey").count().to_pandas()
     with_pkey.write_parquet(os.path.join(out_dir, "edges"),
                             partition_cols=["pkey"], mode="overwrite")
-    counts = (ray.data.read_parquet(os.path.join(out_dir, "edges"))
-              .groupby("pkey").count().to_pandas())
     man = Manifest(os.path.join(out_dir, "edges_manifest.json"))
     for pk, n in zip(counts["pkey"], counts["count()"]):
         man.mark_done(f"pkey={pk}", fingerprint, int(n))
     return {"partitions": len(counts), "triples": int(counts["count()"].sum())}
+
+
+def _read_current_groups(out_dir: str, man: Manifest,
+                         n_groups: int) -> "ray.data.Dataset":
+    """Global-phase input: ONLY the current run's group dirs.  Stale
+    ``group=NNNNN`` dirs + manifest entries from a prior run with a
+    different group layout are pruned first, so obsolete edges never
+    leak into the final KG or its stats."""
+    import shutil
+
+    current = {f"group={gi:05d}" for gi in range(n_groups)}
+    for gid in man.prune(current):
+        stale = os.path.join(out_dir, "raw_edges", gid)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    base = os.path.join(out_dir, "raw_edges")
+    for name in os.listdir(base) if os.path.isdir(base) else []:
+        if name not in current:
+            shutil.rmtree(os.path.join(base, name))
+    import glob
+    files = sorted(f for gid in sorted(current)
+                   for f in glob.glob(os.path.join(base, gid, "*.parquet")))
+    return ray.data.read_parquet(files)
 
 
 def run_kg_job(input_files: list[str], out_dir: str,
@@ -224,7 +248,7 @@ def run_kg_job(input_files: list[str], out_dir: str,
         edges.write_parquet(gdir, mode="overwrite")
         n = ray.data.read_parquet(gdir).count()
         man.mark_done(gid, fp, n)
-    raw = ray.data.read_parquet(os.path.join(out_dir, "raw_edges"))
+    raw = _read_current_groups(out_dir, man, len(groups))
     final = dedup_edges(canonicalize_edges(raw))
     stats = write_edges(final, out_dir, cfg.num_edge_partitions,
                         fingerprint=param_fp)
@@ -255,6 +279,16 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
     rules = rules if rules is not None else DEFAULT_RELATION_RULES
     terms = [t for t in changed_terms if t]
     man = Manifest(os.path.join(out_dir, "raw_edges_manifest.json"))
+    if not terms:
+        # nothing changed → corpus is clean; re-run only the cheap global
+        # phase (an empty term list previously crashed mark_dirty)
+        raw = _read_current_groups(
+            out_dir, man, (len(input_files) + group_size - 1) // group_size)
+        final = dedup_edges(canonicalize_edges(raw))
+        stats = write_edges(final, out_dir, cfg.num_edge_partitions)
+        stats.update({"dirty_turns": 0,
+                      "groups": (len(input_files) + group_size - 1) // group_size})
+        return stats
     groups = [sorted(input_files)[i:i + group_size]
               for i in range(0, len(input_files), group_size)]
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -283,33 +317,44 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
         if n_dirty == 0:
             continue
         dirty_total += n_dirty
-        # dirty turn keys → drop their cached edges, append re-extractions
-        keys = {(r["conv_id"], r["turn_idx"])
-                for r in dirty.select_columns(["conv_id", "turn_idx"]).iter_rows()}
-        keys_ref = ray.put(keys)
 
-        class DropDirty:
-            def __init__(self):
-                self.keys = ray.get(keys_ref)
+        def _extract(turns):
+            p = turns.map_batches(
+                AnnotateExtract,
+                fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
+                                       "emit_repr": False,
+                                       "extra_entity_sets": extra_entity_sets},
+                batch_format="pyarrow",
+                batch_size=cfg.annotator_batch_size,
+                concurrency=cfg.annotator_concurrency)
+            return decode_edges(p, rules, cfg)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                mask = [(c, t) not in self.keys for c, t in
-                        zip(batch.column("conv_id").to_pylist(),
-                            batch.column("turn_idx").to_pylist())]
-                return batch.filter(pa.array(mask))
+        if n_dirty > cfg.dirty_broadcast_max:
+            # the dirty-key set would be unbounded on the driver (a
+            # frequent changed term can mark most of a group dirty) —
+            # fall back to re-extracting the WHOLE group: bounded memory,
+            # same result, and at worst the cost of the initial build of
+            # this group
+            merged = _extract(ds)
+        else:
+            # dirty turn keys → drop their cached edges, append re-extractions
+            keys = {(r["conv_id"], r["turn_idx"])
+                    for r in dirty.select_columns(["conv_id", "turn_idx"]).iter_rows()}
+            keys_ref = ray.put(keys)
 
-        cached = ray.data.read_parquet(gdir).map_batches(
-            DropDirty, batch_format="pyarrow", concurrency=(1, 4))
-        new_paths = dirty.map_batches(
-            AnnotateExtract,
-            fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
-                                   "emit_repr": False,
-                                   "extra_entity_sets": extra_entity_sets},
-            batch_format="pyarrow",
-            batch_size=cfg.annotator_batch_size,
-            concurrency=cfg.annotator_concurrency)
-        new_edges = decode_edges(new_paths, rules, cfg)
-        merged = cached.union(new_edges)
+            class DropDirty:
+                def __init__(self):
+                    self.keys = ray.get(keys_ref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    mask = [(c, t) not in self.keys for c, t in
+                            zip(batch.column("conv_id").to_pylist(),
+                                batch.column("turn_idx").to_pylist())]
+                    return batch.filter(pa.array(mask))
+
+            cached = ray.data.read_parquet(gdir).map_batches(
+                DropDirty, batch_format="pyarrow", concurrency=(1, 4))
+            merged = cached.union(_extract(dirty))
         tmp = gdir + ".tmp"
         merged.write_parquet(tmp, mode="overwrite")
         import shutil
@@ -317,7 +362,7 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
         os.replace(tmp, gdir)
         man.mark_done(gid, fingerprint_files(files) + param_fp,
                       ray.data.read_parquet(gdir).count())
-    raw = ray.data.read_parquet(os.path.join(out_dir, "raw_edges"))
+    raw = _read_current_groups(out_dir, man, len(groups))
     final = dedup_edges(canonicalize_edges(raw))
     stats = write_edges(final, out_dir, cfg.num_edge_partitions,
                         fingerprint=param_fp)

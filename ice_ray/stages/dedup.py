@@ -27,7 +27,6 @@ import pyarrow as pa
 
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
-_MERSENNE = (1 << 61) - 1
 MAX_BUCKET = 64  # cap on pairs per LSH bucket; beyond this the bucket is
                  # a near-clone cluster and pairing its head is enough
 
@@ -73,89 +72,123 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 42):
         assert num_perm % bands == 0
         rs = np.random.RandomState(seed)
-        self.a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rs.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+        # Dietzfelbinger multiply-shift family: h(x) = ((a·x + b) mod 2^64)
+        # with ODD 64-bit a — uint64 wraparound IS the mod, so the hash is
+        # exact and the family is the documented one (the earlier int64
+        # variant silently wrapped mod 2^64 before a Mersenne reduction)
+        def u64(n):
+            hi = rs.randint(0, 1 << 32, size=n, dtype=np.uint64)
+            lo = rs.randint(0, 1 << 32, size=n, dtype=np.uint64)
+            return (hi << np.uint64(32)) | lo
+        self.a = u64(num_perm) | np.uint64(1)
+        self.b = u64(num_perm)
         self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = np.array(_shingles(text, self.k), dtype=np.int64)
-        # (num_perm, n_shingles) universal hashing, min over shingles
-        h = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        sh = np.array(_shingles(text, self.k), dtype=np.uint64)
+        # (num_perm, n_shingles) multiply-shift hashing, min over shingles
+        h = self.a[:, None] * sh[None, :] + self.b[:, None]
         return h.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc batch → exploded (band_id, band_hash, id, sig) rows."""
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, text in zip(ids, texts):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows:(b + 1) * self.rows]
-                out_band.append(b)
-                out_hash.append(int(zlib.crc32(chunk.tobytes())))
-                out_id.append(i)
-                out_sig.append(sig.astype(np.int64).tobytes())
-        return pa.table({
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "sig": pa.array(out_sig, pa.binary()),
-        })
+        """doc batch → one (doc_id, sig) row per doc (signatures computed
+        once; band rows are derived from sigs by a separate cheap map)."""
+        import pyarrow.compute as pc
+        sigs = [self.signature(t).tobytes()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                         "sig": pa.array(sigs, pa.binary())})
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, estimated Jaccard from
-    signature agreement.  Buckets larger than MAX_BUCKET pair only
-    against the min id (cluster head) — documented cap, not silent."""
-    df = df.drop_duplicates("doc_id").sort_values("doc_id")
-    n = len(df)
-    if n < 2:
-        return pd.DataFrame({"id1": [], "id2": [], "est_jaccard": []})
-    ids = df["doc_id"].to_numpy()
-    sigs = np.stack([np.frombuffer(s, dtype=np.int64) for s in df["sig"]])
-    rows = []
-    if n > MAX_BUCKET:
-        head = 0
-        for j in range(1, n):
-            est = float((sigs[head] == sigs[j]).mean())
-            rows.append((int(ids[head]), int(ids[j]), est))
-    else:
-        for i in range(n):
-            for j in range(i + 1, n):
-                est = float((sigs[i] == sigs[j]).mean())
-                rows.append((int(ids[i]), int(ids[j]), est))
-    return pd.DataFrame(rows, columns=["id1", "id2", "est_jaccard"])
+def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    """(doc_id, sig) → slim (band_id, band_hash, doc_id) rows: the LSH
+    shuffle moves 20 bytes per band row, NOT the full signature (which
+    would be ≈16× duplicated at bands=16 — the round-1 bottleneck)."""
+    ids = batch.column("doc_id").to_pylist()
+    out_band, out_hash, out_id = [], [], []
+    for i, s in zip(ids, batch.column("sig").to_pylist()):
+        sig = np.frombuffer(s, dtype=np.int64)
+        for b in range(bands):
+            out_band.append(b)
+            out_hash.append(int(zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())))
+            out_id.append(i)
+    return pa.table({
+        "band_id": pa.array(out_band, pa.int32()),
+        "band_hash": pa.array(out_hash, pa.int64()),
+        "doc_id": pa.array(out_id, pa.int64()),
+    })
 
 
 def _bucketed_band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    """Pair generation for all LSH bands hashed into one work bucket —
-    one Ray group per bucket, a vectorized pandas groupby inside (avoids
-    one Python task per (band_id, band_hash) group)."""
-    out = [pd.DataFrame({"id1": pd.Series(dtype="int64"),
-                         "id2": pd.Series(dtype="int64"),
-                         "est_jaccard": pd.Series(dtype="float64")})]
+    """Candidate (id1 < id2) pairs for all LSH bands hashed into one work
+    bucket — ids only, fully vectorized.  Buckets larger than MAX_BUCKET
+    pair only against the min id (cluster head) — documented cap, not a
+    silent quadratic explosion."""
+    a_out, b_out = [], []
     for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-        if len(g) > 1:
-            out.append(_bucket_pairs(g))
-    return pd.concat(out, ignore_index=True)
+        ids = np.unique(g["doc_id"].to_numpy())
+        n = len(ids)
+        if n < 2:
+            continue
+        if n > MAX_BUCKET:
+            a_out.append(np.full(n - 1, ids[0]))
+            b_out.append(ids[1:])
+        else:
+            iu, ju = np.triu_indices(n, 1)
+            a_out.append(ids[iu])
+            b_out.append(ids[ju])
+    if not a_out:
+        return pd.DataFrame({"id1": pd.Series(dtype="int64"),
+                             "id2": pd.Series(dtype="int64")})
+    return pd.DataFrame({"id1": np.concatenate(a_out).astype("int64"),
+                         "id2": np.concatenate(b_out).astype("int64")})
+
+
+def _sig_est(batch: pa.Table) -> pa.Table:
+    """(id1, id2, sig1, sig2) → est_jaccard from signature agreement."""
+    s1 = batch.column("sig1").to_pylist()
+    s2 = batch.column("sig2").to_pylist()
+    if not s1:
+        return pa.table({"id1": pa.array([], pa.int64()),
+                         "id2": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    a = np.frombuffer(b"".join(s1), dtype=np.int64).reshape(len(s1), -1)
+    b = np.frombuffer(b"".join(s2), dtype=np.int64).reshape(len(s2), -1)
+    est = np.round((a == b).mean(axis=1), 6)
+    return pa.table({"id1": batch.column("id1"),
+                     "id2": batch.column("id2"),
+                     "est_jaccard": pa.array(est, pa.float64())})
+
+
+def minhash_signatures(ds, num_perm: int = 64, bands: int = 16, k: int = 3):
+    """→ materialized (doc_id, sig) dataset (≈0.5 KB/doc)."""
+    return ds.map_batches(
+        MinHasher, batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
+        concurrency=(1, 8)).materialize()
 
 
 def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
                           bands: int = 16, k: int = 3,
                           num_work_buckets: int = 64):
-    """→ distinct (id1, id2, est_jaccard ≥ threshold) candidate pairs."""
+    """→ distinct (id1, id2, est_jaccard ≥ threshold) candidate pairs.
+
+    Pipeline: signatures once per doc → slim band rows (no signature
+    payload) → bucketed pair generation (ids only) → pair dedup → two
+    keyed joins re-attach signatures to the (small) candidate set →
+    vectorized signature-agreement estimate → threshold filter."""
     import pyarrow.compute as pc
 
-    from ..functions.shuffle import grouped_aggregate
+    from ..functions.join import bucketed_hash_join
+    from ..functions.shuffle import grouped_aggregate, hash_mod
 
-    exploded = ds.map_batches(
-        MinHasher, batch_format="pyarrow",
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        concurrency=(1, 8))
+    sigs = minhash_signatures(ds, num_perm, bands, k)
+    exploded = sigs.map_batches(
+        _explode_bands, batch_format="pyarrow",
+        fn_kwargs={"bands": bands, "rows": num_perm // bands})
 
     def add_work_bucket(batch: pa.Table) -> pa.Table:
         b = pc.cast(pc.bit_wise_and(
@@ -164,24 +197,38 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
             num_work_buckets - 1), pa.int32())
         return batch.append_column("_wb", b)
 
-    pairs = (exploded.map_batches(add_work_bucket, batch_format="pyarrow")
-             .groupby("_wb").map_groups(_bucketed_band_pairs,
-                                        batch_format="pandas"))
-    verified = pairs.filter(expr=f"est_jaccard >= {threshold}")
-    # a pair can surface from several bands → dedup on (id1, id2)
-    return grouped_aggregate(verified, keys=["id1", "id2"],
-                             specs=[("est_jaccard", "max")],
-                             rename={"est_jaccard_max": "est_jaccard"})
+    cand = (exploded.map_batches(add_work_bucket, batch_format="pyarrow")
+            .groupby("_wb").map_groups(_bucketed_band_pairs,
+                                       batch_format="pandas"))
+    # a pair can surface from several bands → dedup on (id1, id2) BEFORE
+    # the verify joins so each pair is verified once
+    cand = grouped_aggregate(
+        cand.map_batches(lambda t: t.append_column(
+            "_one", pa.array(np.ones(t.num_rows, dtype="int64"))),
+            batch_format="pyarrow"),
+        keys=["id1", "id2"], specs=[("_one", "min")],
+    ).drop_columns(["_one_min"]).materialize()
+    s1 = sigs.map_batches(lambda t: t.rename_columns(["id1", "sig1"]),
+                          batch_format="pyarrow")
+    s2 = sigs.map_batches(lambda t: t.rename_columns(["id2", "sig2"]),
+                          batch_format="pyarrow")
+    with_s1 = bucketed_hash_join(cand, s1, "id1", "id1").materialize()
+    with_s2 = bucketed_hash_join(with_s1, s2, "id2", "id2")
+    est = with_s2.map_batches(_sig_est, batch_format="pyarrow")
+    return est.filter(expr=f"est_jaccard >= {threshold}")
 
 
-def neardup_clusters(pairs_ds, max_rounds: int = 10):
+def neardup_clusters(pairs_ds, max_rounds: int = 50):
     """Connected components by iterative min-label propagation over the
     candidate-pair edge list (driver loop over a small pair set)."""
+    import warnings
+
     pdf = pairs_ds.to_pandas()
     label: dict[int, int] = {}
     for a, b in zip(pdf["id1"], pdf["id2"]):
         label.setdefault(a, a)
         label.setdefault(b, b)
+    converged = False
     for _ in range(max_rounds):
         changed = False
         for a, b in zip(pdf["id1"], pdf["id2"]):
@@ -190,34 +237,50 @@ def neardup_clusters(pairs_ds, max_rounds: int = 10):
                 label[a] = label[b] = m
                 changed = True
         if not changed:
+            converged = True
             break
+    if not converged:
+        warnings.warn(f"neardup_clusters: min-label propagation did not "
+                      f"converge within {max_rounds} rounds; components with "
+                      f"diameter > {max_rounds} may be split")
     return pd.DataFrame(
         {"doc_id": list(label.keys()), "cluster": list(label.values())}
     ).sort_values("doc_id").reset_index(drop=True)
 
 
-def neardup_clusters_distributed(pairs_ds, max_rounds: int = 10):
+def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
+                                 strategy: str = "auto",
+                                 broadcast_max_nodes: int = 2_000_000):
     """Connected components over the candidate-pair edge list as Ray
-    iterations: min-label propagation, each round = broadcast label map
-    → per-batch neighbor-label messages → one bucketed min aggregate.
-    Edges stream through the cluster; the broadcast is bounded by the
-    number of NODES touched by candidate pairs (≪ corpus — swap the
-    broadcast for functions/join.bucketed_hash_join when even that
-    outgrows memory).  Converges in O(component diameter) rounds with
-    early stop.  Returns a Dataset (doc_id, cluster)."""
-    import ray
-    import ray.data
+    iterations of min-label propagation.  Two execution strategies:
 
+    - ``join`` (the scale path): each round is a bucketed hash join
+      edges ⋈ labels on the neighbor id → (node, nbr_label) messages,
+      then one bucketed min aggregate with the previous labels unioned
+      in.  Nothing node-bounded ever lands on the driver.
+    - ``broadcast`` (small-graph fast path): the label map is broadcast
+      via ray.put and messages are a map-side lookup — one shuffle fewer
+      per round; bounded by the number of nodes touched by pairs.
+
+    Convergence is detected distributively: labels are monotonically
+    non-increasing under min-propagation, so the fixpoint is reached
+    exactly when Σ labels stops changing (one tiny distributed sum per
+    round, no driver-side dict comparison).  Converges in O(component
+    diameter) rounds; warns if max_rounds is hit first.
+    Returns a Dataset (doc_id, cluster)."""
+    import warnings
+
+    import ray
+
+    from ..functions.join import bucketed_hash_join
     from ..functions.shuffle import grouped_aggregate
 
     def explode(batch: pa.Table) -> pa.Table:
-        # undirected edges → both directions + self rows
-        a = batch.column("id1")
-        b = batch.column("id2")
-        return pa.table({
-            "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-            "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
-        })
+        # undirected edges → both directions
+        a = pa.compute.cast(batch.column("id1"), pa.int64()).combine_chunks()
+        b = pa.compute.cast(batch.column("id2"), pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nbr": pa.concat_arrays([b, a])})
 
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
     # initial label = own id
@@ -227,34 +290,50 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 10):
             batch_format="pyarrow"),
         keys=["node"], specs=[("label", "min")], rename={"label_min": "label"},
     ).materialize()
+    if strategy == "auto":
+        strategy = ("broadcast" if labels.count() <= broadcast_max_nodes
+                    else "join")
 
+    prev_sum = labels.sum("label")
+    converged = False
     for _ in range(max_rounds):
-        lab_ref = ray.put({r["node"]: r["label"] for r in labels.iter_rows()})
+        if strategy == "broadcast":
+            lab_ref = ray.put({r["node"]: r["label"]
+                               for r in labels.iter_rows()})
 
-        class Propagate:
-            def __init__(self):
-                self.lab = ray.get(lab_ref)
+            class Propagate:
+                def __init__(self):
+                    self.lab = ray.get(lab_ref)
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                nodes = batch.column("node").to_pylist()
-                nbrs = batch.column("nbr").to_pylist()
-                return pa.table({
-                    "node": pa.array(nodes, batch.column("node").type),
-                    "label": pa.array([self.lab[n] for n in nbrs],
-                                      batch.column("node").type),
-                })
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    nbrs = batch.column("nbr").to_pylist()
+                    return pa.table({
+                        "node": batch.column("node"),
+                        "label": pa.array([self.lab[n] for n in nbrs],
+                                          pa.int64()),
+                    })
 
-        msgs = edges.map_batches(Propagate, batch_format="pyarrow",
-                                 concurrency=(1, 4))
-        with_self = msgs.union(labels)
-        new_labels = grouped_aggregate(
-            with_self, keys=["node"], specs=[("label", "min")],
+            msgs = edges.map_batches(Propagate, batch_format="pyarrow",
+                                     concurrency=(1, 4))
+        else:
+            lab_nbr = labels.map_batches(
+                lambda t: t.rename_columns(["nbr", "label"]),
+                batch_format="pyarrow")
+            msgs = bucketed_hash_join(edges, lab_nbr, "nbr", "nbr") \
+                .select_columns(["node", "label"])
+        labels = grouped_aggregate(
+            msgs.union(labels.select_columns(["node", "label"])),
+            keys=["node"], specs=[("label", "min")],
             rename={"label_min": "label"}).materialize()
-        old = {r["node"]: r["label"] for r in labels.iter_rows()}
-        new = {r["node"]: r["label"] for r in new_labels.iter_rows()}
-        labels = new_labels
-        if old == new:
+        s = labels.sum("label")
+        if s == prev_sum:
+            converged = True
             break
+        prev_sum = s
+    if not converged:
+        warnings.warn(f"neardup_clusters_distributed: not converged within "
+                      f"{max_rounds} rounds; components with diameter > "
+                      f"{max_rounds} may be split")
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]),
         batch_format="pyarrow")

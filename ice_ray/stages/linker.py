@@ -85,15 +85,14 @@ def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
 def link_edges_by_conversation(edges: "ray.data.Dataset",
                                num_buckets: int = 64) -> "ray.data.Dataset":
     """Conversation-scoped linking via hash buckets: the shuffle key is
-    ``crc32(conv_id) % num_buckets`` so the reduce runs B vectorized
+    ``hash(conv_id) % num_buckets`` so the reduce runs B vectorized
     pandas groups instead of one Python call per conversation (hot-conv
     skew is bounded by the bucket, not the conversation)."""
-    import zlib
+    from ..functions.shuffle import hash_mod
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = [zlib.crc32(c.encode()) % num_buckets
-             for c in batch.column("conv_id").to_pylist()]
-        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+        return batch.append_column(
+            "_bucket", hash_mod(batch.column("conv_id"), num_buckets))
 
     bucketed = edges.map_batches(add_bucket, batch_format="pyarrow")
     linked = bucketed.groupby("_bucket").map_groups(_link_bucket,

@@ -48,32 +48,47 @@ def centroid_of_label(ds, label: int, col: str = "embedding") -> np.ndarray:
 
 
 class CosineScorer:
-    """Append cosine similarity to a broadcast query vector."""
+    """Append cosine similarity to a broadcast query vector.
 
-    def __init__(self, query_ref, col: str = "embedding"):
+    ``top_k`` set → emit only the batch's exact top-k rows ordered by
+    (cosine desc, vec_id asc): the downstream global sort then touches
+    ≤ k × num_batches candidate rows instead of every scored row."""
+
+    def __init__(self, query_ref, col: str = "embedding",
+                 top_k: int | None = None):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
         self.q = np.asarray(q, dtype=np.float64)
         self.qn = np.linalg.norm(self.q)
         self.col = col
+        self.top_k = top_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _batch_matrix(batch, self.col)
         norms = np.linalg.norm(m, axis=1)
         denom = norms * self.qn
         denom[denom == 0] = 1.0
-        cos = (m @ self.q) / denom
+        cos = np.round((m @ self.q) / denom, 6)
+        vec_id = batch.column("vec_id")
+        if self.top_k is not None and len(cos) > self.top_k:
+            vids = np.asarray(vec_id.to_pylist())
+            # exact per-batch order: cosine desc, vec_id asc (tie-safe)
+            order = np.lexsort((vids, -cos))[:self.top_k]
+            cos = cos[order]
+            vec_id = pa.array(vids[order], pa.int64())
         return pa.table({
-            "vec_id": batch.column("vec_id"),
-            "cosine": pa.array(np.round(cos, 6), pa.float64()),
+            "vec_id": vec_id,
+            "cosine": pa.array(cos, pa.float64()),
         })
 
 
 def knn_to_vector(ds, query: np.ndarray, k: int = 10, col: str = "embedding"):
-    """Brute-force cosine top-k: score per batch, global top-k via sort.
-    Deterministic tie-break on vec_id."""
+    """Brute-force cosine top-k: per-batch partial top-k (exact, tie-broken
+    on vec_id) then a tiny global sort over ≤ k·num_batches candidates —
+    no all-to-all shuffle of the scored corpus."""
     qref = ray.put(np.asarray(query, dtype=np.float64))
     scored = ds.map_batches(CosineScorer, batch_format="pyarrow",
-                            fn_constructor_kwargs={"query_ref": qref, "col": col},
+                            fn_constructor_kwargs={"query_ref": qref, "col": col,
+                                                   "top_k": k},
                             concurrency=(1, 8))
     return scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
@@ -127,15 +142,21 @@ def knn_multi_query(ds, queries: np.ndarray, k: int = 10, col: str = "embedding"
 
 
 def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
-              refine_iters: int = 2):
-    """IVF index: deterministic k-means-lite — centroids seeded from the
-    first ``n_centroids`` vectors by vec_id, refined with
+              refine_iters: int = 2, persist_dir: str | None = None):
+    """IVF index: deterministic k-means-lite — centroids seeded by a
+    deterministic hash-key n-sample (functions/sampling.sample_n: no
+    global sort, stable across block layouts), refined with
     ``refine_iters`` Lloyd steps (partial sums per batch, merge on the
     driver), then every vector assigned to its nearest centroid.
     Returns (centroids ndarray, assigned Dataset with a ``centroid_id``
-    column)."""
-    seed_rows = ds.sort("vec_id").limit(n_centroids).take(n_centroids)
-    centroids = np.asarray([r[col] for r in seed_rows], dtype=np.float64)
+    column).  Pass ``persist_dir`` to also write the assigned vectors as
+    parquet partitioned by ``centroid_id`` — ``ivf_search`` can then read
+    ONLY the probed partitions (I/O pruning, not a full-scan filter)."""
+    from ..functions.sampling import sample_n
+
+    seeds = sample_n(ds.select_columns(["vec_id", col]), n_centroids,
+                     id_col="vec_id").sort_values("vec_id")
+    centroids = np.asarray(seeds[col].tolist(), dtype=np.float64)
 
     import ray
 
@@ -175,18 +196,48 @@ def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
         return batch.append_column(
             "centroid_id", pa.array(d.argmin(axis=1).astype("int32")))
 
-    return centroids, ds.map_batches(assign, batch_format="pyarrow")
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    if persist_dir is not None:
+        assigned.write_parquet(persist_dir, partition_cols=["centroid_id"],
+                               mode="overwrite")
+    return centroids, assigned
+
+
+def _nearest_centroids(centroids: np.ndarray, query: np.ndarray,
+                       n_probe: int) -> list[int]:
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
 
 def ivf_search(centroids: np.ndarray, assigned, query: np.ndarray,
                k: int = 10, n_probe: int = 4, col: str = "embedding"):
     """Probe the ``n_probe`` nearest centroid lists, exact cosine re-rank
-    inside them (prunes (1 − n_probe/n_centroids) of the corpus)."""
-    q = np.asarray(query, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d)[:n_probe]]
+    inside them.  NOTE: this form filters a live Dataset — the filter
+    still scans every block.  For true I/O pruning build with
+    ``persist_dir`` and search via ``ivf_search_persisted``."""
+    probes = _nearest_centroids(centroids, query, n_probe)
     cand = assigned.filter(expr=f"centroid_id in {probes!r}")
-    return knn_to_vector(cand, q, k=k, col=col)
+    return knn_to_vector(cand, np.asarray(query, dtype=np.float64),
+                         k=k, col=col)
+
+
+def ivf_search_persisted(centroids: np.ndarray, persist_dir: str,
+                         query: np.ndarray, k: int = 10, n_probe: int = 4,
+                         col: str = "embedding"):
+    """Probe a persisted IVF index: reads ONLY the ``centroid_id=<i>``
+    parquet partitions of the probed lists — touches n_probe/n_centroids
+    of the stored bytes, the partition-pruned scale path."""
+    import os
+
+    import ray.data
+
+    probes = _nearest_centroids(centroids, query, n_probe)
+    dirs = [os.path.join(persist_dir, f"centroid_id={i}") for i in probes]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    cand = ray.data.read_parquet(dirs)
+    return knn_to_vector(cand, np.asarray(query, dtype=np.float64),
+                         k=k, col=col)
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,

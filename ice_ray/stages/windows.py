@@ -49,15 +49,23 @@ def _sessionize_bucket(df: pd.DataFrame, gap_minutes: float = 30.0) -> pd.DataFr
     return out
 
 
-def sessionize(events, gap_minutes: float = 30.0, num_buckets: int = 64):
+def sessionize(events, gap_minutes: float = 30.0,
+               num_buckets: int | None = None):
     """Session windows (gap-based) per user → (user_id, n_sessions,
     n_events).  Users are hash-bucketed so the reduce runs B vectorized
-    pandas groups, not one Python call per user (assumption: one user's
-    events fit one bucket group)."""
+    pandas groups, not one Python call per user (assumption: one USER's
+    events fit one bucket group — the bucket count scales with input size
+    so a bucket holds a bounded slice of the stream, not a fixed 1/64).
+    ``user_id`` may be any type (string ids hash fine)."""
+    from ..functions.shuffle import hash_mod
+
+    if num_buckets is None:
+        # ~250k events per reduce group; parquet row counts are metadata
+        num_buckets = max(64, min(65536, events.count() // 250_000 + 1))
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        b = pc.cast(pc.bit_wise_and(batch.column("user_id"),
-                                    num_buckets - 1), pa.int32())
-        return batch.append_column("_bucket", b)
+        return batch.append_column(
+            "_bucket", hash_mod(batch.column("user_id"), num_buckets))
 
     return (events.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bucket")

@@ -64,3 +64,14 @@ class Manifest:
 
     def total_rows(self) -> int:
         return sum(e.get("row_count", 0) for e in self.entries.values())
+
+    def prune(self, keep_ids: set[str]) -> list[str]:
+        """Drop entries not in ``keep_ids`` (e.g. stale group=NNNNN dirs
+        from a prior run with a different group layout); returns the
+        dropped partition ids so the caller can delete their data dirs."""
+        dropped = [pid for pid in self.entries if pid not in keep_ids]
+        for pid in dropped:
+            del self.entries[pid]
+        if dropped:
+            self._flush()
+        return dropped
