@@ -53,6 +53,11 @@ VERB_BASES = {
 WORK_NOUNS = ["budget", "plan", "schedule", "proposal", "outage", "rollout"]
 ACTOR_NOUNS = ["team", "manager", "committee", "board"]
 
+# third-person subject/object pronouns the coref layer resolves
+# (gender-free nearest-preceding-PERSON, the `resolve` stage analog —
+# src/props/parseprops:24-30; RelaxedDepPathRelationTagger.java:69-70)
+PRONOUNS = {"he", "she", "they", "him", "her", "them"}
+
 AUX_VERBS = {
     "is", "are", "was", "were", "am", "be", "been", "being",
     "has", "have", "had", "will", "would", "did", "does", "do",
@@ -101,6 +106,11 @@ def build_entity_dict(extra_sets: dict[str, list[str]] | None = None) -> dict[tu
         d[_phrase_key(o)] = "ORGANIZATION"
     for drug in DRUGS:
         d[(drug,)] = "DRUGS"
+    # pronouns are PERSON mentions; the linker resolves them to the
+    # nearest preceding PERSON in the conversation (or drops the edge)
+    for p in PRONOUNS:
+        d[(p,)] = "PERSON"
+        d[(p.capitalize(),)] = "PERSON"
     if extra_sets:
         for etype, phrases in extra_sets.items():
             for p in phrases:

@@ -142,11 +142,12 @@ def canonicalize_edges(edges: "ray.data.Dataset",
         )
     from ..stages.linker import LinkCanonRewriter, build_link_state
 
-    registry, canon = build_link_state(edges)
+    registry, canon, mentions = build_link_state(edges)
     return edges.map_batches(
         LinkCanonRewriter,
         fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                               "canon_ref": ray.put(canon)},
+                               "canon_ref": ray.put(canon),
+                               "mentions_ref": ray.put(mentions)},
         batch_format="pyarrow",
         concurrency=(1, _pool_max()),
     )

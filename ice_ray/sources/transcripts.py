@@ -51,7 +51,6 @@ _FILLERS = [
     "Thanks for the update.",
     "The weather in {C} was pleasant.",
     "Please summarize the report.",
-    "He lives in {C}.",
     "That sounds good to me.",
     "What happened next?",
 ]
@@ -82,6 +81,12 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
     turns = []
     gold = []
     p1_introduced = False
+    # coref tracking mirrors the linker's antecedent rule exactly: after a
+    # template turn the "last person" is the rightmost PERSON mention of
+    # that turn's edges (obj if the obj is a person, else the subj);
+    # pronoun turns do not move it.  Bare surnames count as mentions of
+    # the resolved full name.
+    last_person: str | None = None
 
     def person_surface(full: str, introduced: bool) -> str:
         if introduced and rng.random() < 0.25:
@@ -108,6 +113,20 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
             text = _long_sentence(rng)
         elif r < 0.28:
             text = f"The file (see notes) mentions {p1_full} and {city}."  # brackets → dropped
+        elif r < 0.34 and last_person is not None:
+            # pronoun subject — the linker must resolve it to the nearest
+            # preceding PERSON mention (gender-free, so any pronoun works)
+            pron = rng.choice(["He", "She", "They"])
+            pt = rng.randrange(3)
+            if pt == 0:
+                text = f"{pron} lives in {city}."
+                g = [(last_person, "livesIn", city)]
+            elif pt == 1:
+                text = f"{pron} visited {city2}."
+                g = [(last_person, "visited", city2)]
+            else:
+                text = f"{pron} joined {org}."
+                g = [(last_person, "memberOf", org)]
         else:
             t = rng.randrange(10)
             p1 = person_surface(p1_full, p1_introduced)
@@ -142,6 +161,7 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
                 text = f"{p1} seized a pound of {drug}."
                 g = [(p1_full, "seized", drug)]
             p1_introduced = p1_introduced or (p1 == p1_full)
+            last_person = p2_full if t == 8 else p1_full
         ts = _EPOCH + _dt.timedelta(seconds=conv_seed % 86400 + turn_idx * 37)
         turns.append((conv_id, turn_idx, role, text, tool, ts))
         for s, p, o in g:
@@ -205,7 +225,8 @@ def materialize_corpus(n_turns: int, seed: int = 42, base_dir: str = "/tmp/ice_r
     parameter-keyed directory; returns the directory.  Sharded with small
     row groups so Ray's read splits into many blocks (row-group
     granularity bounds read parallelism); cached across runs."""
-    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v2")
+    # v3: pronoun-coref templates (bump invalidates cached v2 corpora)
+    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v3")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

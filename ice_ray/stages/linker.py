@@ -17,10 +17,23 @@ Two layers, per SURVEY.md §7 Phase 5 / the north rule:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from ..nlp.lexicon import PRONOUNS
+
+_PRON_ARR = pa.array(sorted(PRONOUNS))
+
+
+def _mention_key(turn: int, flag: int) -> int:
+    """Total order over a conversation's person mentions: obj mentions
+    (flag=1) follow subj mentions (flag=0) within a turn; a pronoun at
+    turn t resolves to the rightmost mention with key ≤ 2t−1, i.e.
+    strictly earlier turns."""
+    return 2 * int(turn) + flag
 
 
 def link_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -50,11 +63,10 @@ def link_group(df: pd.DataFrame) -> pd.DataFrame:
 def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Link every conversation inside one hash bucket — fully vectorized:
     build a (conv_id, surname) → unique-full-name registry with pandas
-    groupbys, resolve bare surnames with a merge.  Same semantics as
-    ``link_group`` (whole-conversation registry, ambiguous surnames left
-    untouched) without a Python loop per conversation."""
-    import numpy as np
-
+    groupbys, resolve bare surnames with a merge, then resolve pronoun
+    mentions to the nearest preceding PERSON mention of the conversation
+    (gender-free; unresolved pronoun edges are dropped).  Same semantics
+    as the broadcast path."""
     pairs = (("subj", "subj_type"), ("obj", "obj_type"))
     regs = []
     for col, tcol in pairs:
@@ -62,24 +74,79 @@ def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
                    ["conv_id", col]].rename(columns={col: "full"})
         regs.append(m)
     reg = pd.concat(regs, ignore_index=True).drop_duplicates()
-    if reg.empty:
+    if not reg.empty:
+        reg["surname"] = reg["full"].str.rsplit(" ", n=1).str[-1]
+        g = (reg.groupby(["conv_id", "surname"])["full"]
+             .agg(["nunique", "first"]).reset_index())
+        g = g[g["nunique"] == 1].rename(columns={"first": "full"})[
+            ["conv_id", "surname", "full"]]
+        df = df.copy()
+        for col, tcol in pairs:
+            bare = (df[tcol] == "PERSON") & ~df[col].str.contains(" ")
+            if not bare.any():
+                continue
+            sub = df.loc[bare, ["conv_id", col]].rename(columns={col: "surname"})
+            resolved = sub.merge(g, on=["conv_id", "surname"], how="left")["full"]
+            vals = np.where(resolved.notna().to_numpy(),
+                            resolved.to_numpy(), df.loc[bare, col].to_numpy())
+            df.loc[bare, col] = vals
+
+    # --- pronoun coreference over the surname-resolved frame ---
+    lower = {c: df[c].str.lower() for c, _ in pairs}
+    pron_mask = {c: (df[t] == "PERSON") & lower[c].isin(PRONOUNS)
+                 for c, t in pairs}
+    any_pron = pron_mask["subj"] | pron_mask["obj"]
+    if not any_pron.any():
         return df
-    reg["surname"] = reg["full"].str.rsplit(" ", n=1).str[-1]
-    g = (reg.groupby(["conv_id", "surname"])["full"]
-         .agg(["nunique", "first"]).reset_index())
-    g = g[g["nunique"] == 1].rename(columns={"first": "full"})[
-        ["conv_id", "surname", "full"]]
+    mentions = _mentions_per_conv(df, pron_mask)
     df = df.copy()
-    for col, tcol in pairs:
-        bare = (df[tcol] == "PERSON") & ~df[col].str.contains(" ")
-        if not bare.any():
-            continue
-        sub = df.loc[bare, ["conv_id", col]].rename(columns={col: "surname"})
-        resolved = sub.merge(g, on=["conv_id", "surname"], how="left")["full"]
-        vals = np.where(resolved.notna().to_numpy(),
-                        resolved.to_numpy(), df.loc[bare, col].to_numpy())
-        df.loc[bare, col] = vals
-    return df
+    keep = np.ones(len(df), dtype=bool)
+    pos_df = {c: df.columns.get_loc(c) for c, _ in pairs}
+    convs = df["conv_id"].to_numpy()
+    turns = df["turn_idx"].to_numpy()
+    for col, _ in pairs:
+        vals = df[col].to_numpy().copy()
+        for i in np.flatnonzero(pron_mask[col].to_numpy()):
+            name = _antecedent(mentions.get(convs[i]), int(turns[i]))
+            if name is None:
+                keep[i] = False
+            else:
+                vals[i] = name
+        df.iloc[:, pos_df[col]] = vals
+    return df[keep]
+
+
+def _mentions_per_conv(df: pd.DataFrame, pron_mask) -> dict:
+    """{conv_id: (sorted mention keys, names)} from non-pronoun PERSON
+    mentions of the (already surname-resolved) edge frame."""
+    frames = []
+    for flag, (col, tcol) in enumerate((("subj", "subj_type"),
+                                        ("obj", "obj_type"))):
+        sel = (df[tcol] == "PERSON") & ~pron_mask[col]
+        if sel.any():
+            frames.append(pd.DataFrame({
+                "conv_id": df.loc[sel, "conv_id"].to_numpy(),
+                "key": df.loc[sel, "turn_idx"].to_numpy().astype("int64") * 2 + flag,
+                "name": df.loc[sel, col].to_numpy(),
+            }))
+    out: dict = {}
+    if not frames:
+        return out
+    m = (pd.concat(frames, ignore_index=True)
+         .sort_values(["conv_id", "key", "name"])
+         .drop_duplicates(["conv_id", "key"], keep="last"))
+    for conv, g in m.groupby("conv_id", sort=False):
+        out[conv] = (g["key"].to_numpy(), g["name"].to_list())
+    return out
+
+
+def _antecedent(mention_entry, turn: int):
+    """Rightmost mention strictly before ``turn`` (None if none)."""
+    if mention_entry is None:
+        return None
+    keys, names = mention_entry
+    pos = int(np.searchsorted(keys, 2 * turn - 1, side="right")) - 1
+    return names[pos] if pos >= 0 else None
 
 
 def link_edges_by_conversation(edges: "ray.data.Dataset",
@@ -131,15 +198,20 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
 
 
 def build_link_state(edges: "ray.data.Dataset"):
-    """ONE pass over edges → (surname registry, canonical map).
+    """ONE pass over edges → (surname registry, canonical map, mention
+    index).
 
-    Emits three partial row kinds from a single map_batches —
+    Emits four partial row kinds from a single map_batches —
     R: distinct (conv, surname, full) registry rows;
-    S: non-bare surface counts; B: bare (conv, surname) counts —
+    S: non-bare surface counts; B: bare (conv, surname) counts;
+    M: distinct (conv, turn, flag, surface) PERSON mention events
+    (pronouns excluded) for coreference —
     reduces them in one bucketed aggregate, and finishes on the driver
-    (registry from R; canon counts = S + registry-resolved B).
-    One aggregate pass instead of separate registry/canonical passes
-    (halves the tail executions)."""
+    (registry from R; canon counts = S + registry-resolved B; mention
+    index from registry-resolved M).  The mention index is bounded by
+    the number of person-mention TURNS — for inputs where even that
+    outgrows driver memory use link_strategy="shuffle", which resolves
+    inside conversation buckets with no broadcast."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -147,12 +219,18 @@ def build_link_state(edges: "ray.data.Dataset"):
     def partial(batch: pa.Table) -> pa.Table:
         kinds, k1s, k2s, ns = [], [], [], []
         seen_r: set[tuple[str, str]] = set()
-        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+        seen_m: set[tuple[str, str]] = set()
+        turn_col = batch.column("turn_idx").to_pylist()
+        conv_col = batch.column("conv_id").to_pylist()
+        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
+                                            ("obj", "obj_type"))):
             vals = batch.column(col).combine_chunks()
             is_person = pc.equal(batch.column(tcol), "PERSON")
+            is_pron = pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR)
+            is_name = pc.and_(is_person, pc.invert(is_pron))
             has_space = pc.match_substring(vals, " ")
-            full_mask = pc.and_(is_person, has_space)
-            bare_mask = pc.and_(is_person, pc.invert(has_space))
+            full_mask = pc.and_(is_name, has_space)
+            bare_mask = pc.and_(is_name, pc.invert(has_space))
             # R rows (distinct within batch)
             sel = batch.filter(full_mask)
             for c, v in zip(sel.column("conv_id").to_pylist(),
@@ -163,9 +241,10 @@ def build_link_state(edges: "ray.data.Dataset"):
                     k1s.append(c)
                     k2s.append(v.rsplit(" ", 1)[1] + "\x01" + v)
                     ns.append(1)
-            # S rows: everything that is not a bare surname
+            # S rows: everything that is not a bare PERSON name
             for vc in pc.value_counts(pc.drop_null(
-                    pc.if_else(bare_mask, pa.nulls(len(vals), pa.string()), vals))):
+                    pc.if_else(pc.or_(bare_mask, is_pron),
+                               pa.nulls(len(vals), pa.string()), vals))):
                 kinds.append("S")
                 k1s.append(vc["values"].as_py())
                 k2s.append("")
@@ -181,6 +260,19 @@ def build_link_state(edges: "ray.data.Dataset"):
                     k1s.append(c)
                     k2s.append(v)
                     ns.append(vc["counts"].as_py())
+            # M rows: mention events for coref (distinct within batch)
+            name_idx = np.flatnonzero(
+                is_name.combine_chunks().to_numpy(zero_copy_only=False))
+            vlist = vals.to_pylist()
+            for i in name_idx:
+                c = conv_col[i]
+                k2 = f"{turn_col[i]:09d}\x01{flag}\x01{vlist[i]}"
+                if (c, k2) not in seen_m:
+                    seen_m.add((c, k2))
+                    kinds.append("M")
+                    k1s.append(c)
+                    k2s.append(k2)
+                    ns.append(1)
         return pa.table({"kind": pa.array(kinds, pa.string()),
                          "k1": pa.array(k1s, pa.string()),
                          "k2": pa.array(k2s, pa.string()),
@@ -191,7 +283,7 @@ def build_link_state(edges: "ray.data.Dataset"):
         keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = agg.to_pandas()
     if pdf.empty or "kind" not in pdf.columns:
-        return {}, {}
+        return {}, {}, {}
 
     # registry from R rows: exactly one full per (conv, surname)
     r = pdf[pdf["kind"] == "R"].copy()
@@ -219,22 +311,78 @@ def build_link_state(edges: "ray.data.Dataset"):
         if cur is None or (-n, surface) < (-cur[0], cur[1]):
             best[norm] = (n, surface)
     canon = {norm: surf for norm, (_, surf) in best.items()}
-    return registry, canon
+
+    # mention index from M rows: {conv: (sorted keys, names)}; bare
+    # surnames resolve through the registry; ties on (turn, flag) break
+    # to the lexicographically last name (deterministic)
+    mentions: dict[str, tuple] = {}
+    m = pdf[pdf["kind"] == "M"]
+    if len(m):
+        sp = m["k2"].str.split("\x01", n=2, expand=True)
+        mm = pd.DataFrame({
+            "conv": m["k1"].to_numpy(),
+            "key": sp[0].astype("int64").to_numpy() * 2
+                   + sp[1].astype("int64").to_numpy(),
+            "name": sp[2].to_numpy(),
+        })
+        no_space = ~pd.Series(mm["name"]).str.contains(" ").to_numpy()
+        if no_space.any():
+            resolved = [registry.get((c, v), v) for c, v in
+                        zip(mm["conv"][no_space], mm["name"][no_space])]
+            mm.loc[no_space, "name"] = resolved
+        mm = (mm.sort_values(["conv", "key", "name"])
+              .drop_duplicates(["conv", "key"], keep="last"))
+        for conv, g in mm.groupby("conv", sort=False):
+            mentions[conv] = (g["key"].to_numpy(), g["name"].to_list())
+    return registry, canon, mentions
 
 
 class LinkCanonRewriter:
-    """Fused link + canonicalize rewrite: resolve bare PERSON surnames via
-    the broadcast registry, then map every surface through the canonical
-    map on dictionary-encoded uniques."""
+    """Fused link + canonicalize rewrite: resolve pronoun mentions to
+    their conversation antecedent (dropping unresolvable pronoun edges),
+    resolve bare PERSON surnames via the broadcast registry, then map
+    every surface through the canonical map on dictionary-encoded
+    uniques."""
 
-    def __init__(self, registry_ref, canon_ref):
+    def __init__(self, registry_ref, canon_ref, mentions_ref=None):
         self.registry = (ray.get(registry_ref)
                          if isinstance(registry_ref, ray.ObjectRef) else registry_ref)
         self.canon = (ray.get(canon_ref)
                       if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+        self.mentions = (ray.get(mentions_ref)
+                         if isinstance(mentions_ref, ray.ObjectRef)
+                         else (mentions_ref or {}))
+
+    def _resolve_pronouns(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = np.ones(batch.num_rows, dtype=bool)
+        convs = turns = None
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            vals = batch.column(col).combine_chunks()
+            pron = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                           pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
+            idx = np.flatnonzero(pron.combine_chunks()
+                                 .to_numpy(zero_copy_only=False))
+            if idx.size == 0:
+                continue
+            if convs is None:
+                convs = batch.column("conv_id").to_pylist()
+                turns = batch.column("turn_idx").to_pylist()
+            out = vals.to_numpy(zero_copy_only=False).copy()
+            for i in idx:
+                name = _antecedent(self.mentions.get(convs[i]), int(turns[i]))
+                if name is None:
+                    keep[i] = False
+                else:
+                    out[i] = name
+            batch = batch.set_column(batch.schema.get_field_index(col),
+                                     col, pa.array(out, pa.string()))
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        return batch
 
     def _link_col(self, batch: pa.Table, col: str, tcol: str) -> pa.Array:
-        import numpy as np
         import pyarrow.compute as pc
 
         vals = batch.column(col).combine_chunks()
@@ -262,6 +410,7 @@ class LinkCanonRewriter:
         return pc.take(mapped, enc.indices)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._resolve_pronouns(batch)
         idx_s = batch.schema.get_field_index("subj")
         idx_o = batch.schema.get_field_index("obj")
         s = self._canon_col(self._link_col(batch, "subj", "subj_type"))

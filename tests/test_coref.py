@@ -1,0 +1,92 @@
+"""Pronoun coreference: conversation-scoped nearest-preceding-PERSON
+resolution (gender-free), the `resolve` stage analog of the reference NLP
+chain (src/props/parseprops:24-30; coref merge in
+aceJet/RelaxedDepPathRelationTagger.java:69-70).
+
+Covers: direct antecedent, antecedent via bare surname, antecedent = the
+rightmost person of a multi-person turn (obj of "met"), unresolved
+pronoun (dropped), and equality of broadcast vs shuffle link strategies.
+"""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+from ice_ray.config import PipelineConfig
+from ice_ray.pipelines.kg import build_kg
+
+_TS = dt.datetime(2024, 1, 1)
+
+
+def _conv(conv_id, texts):
+    n = len(texts)
+    return {
+        "conv_id": [conv_id] * n,
+        "turn_idx": list(range(n)),
+        "role": ["user"] * n,
+        "text": texts,
+        "tool": [""] * n,
+        "ts": [_TS + dt.timedelta(seconds=i) for i in range(n)],
+    }
+
+
+def _build(texts, strategy="broadcast", conv_id="c0"):
+    tbl = pa.table({k: pa.array(v) if k != "turn_idx"
+                    else pa.array(v, pa.int32())
+                    for k, v in _conv(conv_id, texts).items()})
+    cfg = PipelineConfig(link_strategy=strategy)
+    edges = build_kg(ray.data.from_arrow(tbl), cfg=cfg).to_pandas()
+    return set(zip(edges.subj, edges.pred, edges.obj))
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_pronoun_resolves_to_nearest_person(ray_session, strategy):
+    triples = _build([
+        "Fred Smith lives in Chicago.",
+        "He visited Paris.",            # He → Fred Smith
+        "She joined Globex.",           # gender-free: She → Fred Smith too
+    ], strategy)
+    assert ("Fred Smith", "visited", "Paris") in triples
+    assert ("Fred Smith", "memberOf", "Globex") in triples
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_pronoun_after_bare_surname_and_met(ray_session, strategy):
+    triples = _build([
+        "Fred Smith lives in Chicago.",
+        "Smith visited Paris.",          # bare surname → Fred Smith
+        "They lives in Berlin.",         # They → Fred Smith (via surname)
+        "Fred Smith met Mary Jones in Boston.",
+        "He joined Globex.",             # rightmost person of met turn = Mary Jones
+    ], strategy)
+    assert ("Fred Smith", "livesIn", "Berlin") in triples
+    assert ("Mary Jones", "memberOf", "Globex") in triples
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_unresolved_pronoun_dropped(ray_session, strategy):
+    triples = _build([
+        "He lives in Chicago.",          # no antecedent anywhere → dropped
+        "Fred Smith visited Paris.",
+    ], strategy)
+    assert ("Fred Smith", "visited", "Paris") in triples
+    assert not any(s.lower() in {"he", "she", "they"} for s, _, _ in triples)
+    assert ("Fred Smith", "livesIn", "Chicago") not in triples  # turn-0 pronoun must NOT see a later mention
+
+
+def test_pronoun_scoped_to_conversation(ray_session):
+    # two conversations: the pronoun in c1 must not see c0's person
+    rows = []
+    t0 = _conv("c0", ["Fred Smith lives in Chicago."])
+    t1 = _conv("c1", ["Karl Brown lives in Berlin.", "He visited Paris."])
+    tbl = pa.table({
+        k: pa.array(t0[k] + t1[k]) if k != "turn_idx"
+        else pa.array(t0[k] + t1[k], pa.int32())
+        for k in t0
+    })
+    edges = build_kg(ray.data.from_arrow(tbl)).to_pandas()
+    triples = set(zip(edges.subj, edges.pred, edges.obj))
+    assert ("Karl Brown", "visited", "Paris") in triples
+    assert ("Fred Smith", "visited", "Paris") not in triples
