@@ -78,6 +78,7 @@ class PipelineConfig:
     max_intervening_mentions: int = MAX_INTERVENING_MENTIONS
     min_relation_type_freq: int = MIN_RELATION_TYPE_FREQ
     soft_match: bool = False               # decode: exact only (default) or +soft rules
+    soft_threshold: float = SOFT_MIN_THRESHOLD  # normalized soft-match acceptance bound
     link_strategy: str = "broadcast"       # "broadcast" (registry fits memory) | "shuffle" (10^12-turn safe)
     dirty_broadcast_max: int = 200_000     # refresh: dirty-key sets above this re-extract the whole group
                                            # instead of broadcasting an unbounded key set

@@ -46,6 +46,8 @@ VERB_BASES = {
     "move", "travel", "acquire", "announce", "say",
     "buy", "sell", "give", "seize", "pay", "hire",
     "report", "leave", "discuss", "review", "approve", "reject",
+    # out-of-rule verbs for soft-decode tests (embedding-near / -far)
+    "reside", "shun",
 }
 
 # common nouns for the no-mention filler templates (feed the term /

@@ -22,6 +22,66 @@ _MONEY_RE = re.compile(r"^\$\d+(?:[.,]\d+)*$")
 
 Mention = tuple[int, int, int, int, str, str]
 
+# --- TIMEX2-style time expressions → ENAMEX TIME ------------------------
+# The reference converts Jet's TIMEX2 spans to ENAMEX TIME mentions with a
+# normalized val (IcePreprocessor.java:586-599); Jet's timex tagger is a
+# model blob, so this is a deterministic characterization: month-name
+# dates, 4-digit years, weekday names, and last/next/this + unit spans.
+
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["january", "february", "march", "april", "may", "june", "july",
+     "august", "september", "october", "november", "december"])}
+_WEEKDAYS = {"monday", "tuesday", "wednesday", "thursday", "friday",
+             "saturday", "sunday"}
+_REL_MODS = {"last", "next", "this"}
+_REL_UNITS = {"week", "month", "year"}
+_YEAR_RE = re.compile(r"^(19|20)\d\d$")
+
+
+def normalize_timex(tokens: list[str]) -> str:
+    """TIMEX2 ``val``-style normalization of a recognized time span:
+    month-day[-year] → ISO-ish date, year → YYYY, weekday/deictic words
+    → uppercased symbols (the reference carries Jet's VAL through as an
+    opaque feature, :593)."""
+    toks = [t.lower() for t in tokens]
+    if toks[0] in _MONTHS:
+        m = _MONTHS[toks[0]]
+        if len(toks) >= 2 and toks[1].isdigit():
+            day_or_year = int(toks[1])
+            if len(toks) == 3 and _YEAR_RE.match(toks[2]):
+                return f"{int(toks[2]):04d}-{m:02d}-{day_or_year:02d}"
+            if day_or_year > 31:
+                return f"{day_or_year:04d}-{m:02d}"
+            return f"XXXX-{m:02d}-{day_or_year:02d}"
+        return f"XXXX-{m:02d}"
+    if _YEAR_RE.match(toks[0]):
+        return toks[0]
+    if toks[0] in _WEEKDAYS:
+        return toks[0].upper()
+    if toks[0] in _REL_MODS and len(toks) == 2:
+        return f"{toks[0].upper()}_{toks[1].upper()}"
+    return "_".join(toks).upper()
+
+
+def _timex_span(tokens: list[tuple[int, int, str]], j: int) -> int:
+    """Number of tokens of the time expression starting at ``j`` (0 if
+    none)."""
+    w = tokens[j][2].lower()
+    n = len(tokens)
+    if w in _MONTHS:
+        # "January 5 2024" | "January 5" | "January 2024" | "January"
+        if j + 1 < n and tokens[j + 1][2].isdigit():
+            if (j + 2 < n and _YEAR_RE.match(tokens[j + 2][2])
+                    and not _YEAR_RE.match(tokens[j + 1][2])):
+                return 3
+            return 2
+        return 1
+    if _YEAR_RE.match(w) or w in _WEEKDAYS:
+        return 1
+    if w in _REL_MODS and j + 1 < n and tokens[j + 1][2].lower() in _REL_UNITS:
+        return 2
+    return 0
+
 
 def _crosses(start: int, end: int, taken: list[tuple[int, int]]) -> bool:
     for s, e in taken:
@@ -72,13 +132,20 @@ def find_mentions(
         else:
             i += 1
 
-    # NUMBER / MONEY / TIME (suppressed when crossing a name span)
+    # TIMEX → TIME, then NUMBER / MONEY / TIME words (each suppressed
+    # when crossing an earlier span — the reference's isCrossedWithList
+    # order: names, TIMEX, numbers; IcePreprocessor.java:580-658)
     j = 0
     while j < n:
         s, e, w = tokens[j]
         span_end = e
         etype = None
-        if _MONEY_RE.match(w):
+        tx = _timex_span(tokens, j)
+        if tx:
+            etype = "TIME"
+            span_end = tokens[j + tx - 1][1]
+            j += tx - 1
+        elif _MONEY_RE.match(w):
             etype = "MONEY"
         elif _INT_RE.match(w):
             etype = "NUMBER"

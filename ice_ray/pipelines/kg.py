@@ -55,13 +55,25 @@ def extract_paths(transcripts: "ray.data.Dataset",
 
 
 def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
-                 cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
+                 cfg: PipelineConfig | None = None,
+                 neg_rules: dict[str, str] | None = None,
+                 embeddings: dict | None = None) -> "ray.data.Dataset":
+    """``embeddings`` (word → vector) enables embedding-scaled soft
+    matching (WordEmbedding.java similarity in the replace cost); both
+    rule tables and the embedding table are broadcast once via ray.put
+    and fetched in each decode actor's __init__."""
     cfg = cfg or PipelineConfig()
     rules = rules if rules is not None else DEFAULT_RELATION_RULES
     rules_ref = ray.put(rules)  # broadcast once, fetched per actor __init__
+    kwargs = {"rules_ref": rules_ref, "soft": cfg.soft_match,
+              "soft_threshold": cfg.soft_threshold}
+    if neg_rules:
+        kwargs["neg_rules_ref"] = ray.put(neg_rules)
+    if embeddings:
+        kwargs["emb_ref"] = ray.put(embeddings)
     return paths.map_batches(
         Tagger,
-        fn_constructor_kwargs={"rules_ref": rules_ref, "soft": cfg.soft_match},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=cfg.tagger_batch_size,
         concurrency=cfg.tagger_concurrency,

@@ -49,6 +49,42 @@ def load_rules(path: str | Path) -> dict[str, str]:
     return rules
 
 
+def typed_rule_key(path: str, arg1_type: str, arg2_type: str) -> str:
+    """``TYPE1 -- path -- TYPE2`` with the (1)/(2) subscripts extraction
+    uses for same-type pairs (core/extract.py:112-115)."""
+    if arg1_type == arg2_type and arg1_type != "OTHER":
+        return f"{arg1_type}(1) -- {path} -- {arg2_type}(2)"
+    return f"{arg1_type} -- {path} -- {arg2_type}"
+
+
+def build_relation_model(relation: str, arg1_type: str, arg2_type: str,
+                         accepted_paths: list[str],
+                         rejected_paths: list[str]) -> tuple[dict, dict]:
+    """Bootstrap review → (positive rules, negative rules).
+
+    The reference's RelationBuilder flow: paths the user approves become
+    ``ldpRelationModel`` lines, paths the user REJECTS become entries in
+    the negative table for the same relation (JetEngineBuilder.java
+    writes both; PathRelationExtractor.java:29-70 loads them and the
+    soft matcher discounts any match that is closer to a negative rule
+    than to a positive one).  Both tables key by the typed path."""
+    pos = {typed_rule_key(p, arg1_type, arg2_type): relation
+           for p in accepted_paths}
+    neg = {typed_rule_key(p, arg1_type, arg2_type): relation
+           for p in rejected_paths}
+    return pos, neg
+
+
+def save_neg_rules(neg_rules: dict[str, str], path: str | Path) -> None:
+    """Negative table, same line format as the positive model
+    (PathRelationExtractor.loadNeg, :56-70)."""
+    save_rules(neg_rules, path)
+
+
+def load_neg_rules(path: str | Path) -> dict[str, str]:
+    return load_rules(path)
+
+
 def save_onoma(entity_sets: dict[str, list[str]], path: str | Path) -> None:
     """Write the name → type dictionary ('iceOnoma.dict' analog,
     JetEngineBuilder.buildOnoma, models/JetEngineBuilder.java:140-156):

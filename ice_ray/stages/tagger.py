@@ -34,10 +34,13 @@ class Tagger:
     dict of) {typed_path: relationType[-1]}; ``neg_rules`` likewise for
     negative rules used by the soft matcher."""
 
-    def __init__(self, rules_ref, soft: bool = False, neg_rules_ref=None):
+    def __init__(self, rules_ref, soft: bool = False, neg_rules_ref=None,
+                 emb_ref=None, soft_threshold: float = SOFT_MIN_THRESHOLD):
         rules = ray.get(rules_ref) if isinstance(rules_ref, ray.ObjectRef) else rules_ref
         self.exact: dict[str, str] = dict(rules)
         self.soft = soft
+        self.soft_threshold = soft_threshold
+        self.word_sim = None
         if soft:
             self.soft_rules = [
                 (MatcherPath(k.replace(" -- ", "--")), v) for k, v in rules.items()
@@ -47,6 +50,14 @@ class Tagger:
             self.neg_rules = [
                 (MatcherPath(k.replace(" -- ", "--")), v) for k, v in neg.items()
             ]
+            # embedding-backed lexical similarity scales the soft replace
+            # cost by (1 − cosine) (PathMatcher.java:24-34 via the
+            # WordEmbedding table); the table is broadcast once per actor
+            emb = (ray.get(emb_ref) if isinstance(emb_ref, ray.ObjectRef)
+                   else emb_ref)
+            if emb:
+                from ..functions.wordsim import WordSim
+                self.word_sim = WordSim(emb)
 
     def _soft_match(self, typed_path: str) -> str | None:
         mp = MatcherPath(typed_path.replace(" -- ", "--"))
@@ -55,17 +66,19 @@ class Tagger:
         best, best_rel = 1.0, None
         for rule, rel in self.soft_rules:
             score = match_paths(mp, rule, SOFT_REPLACE_COST, SOFT_INSERT_COST,
-                                SOFT_DELETE_COST) / len(rule)
+                                SOFT_DELETE_COST,
+                                word_sim=self.word_sim) / len(rule)
             if score < best:
                 best, best_rel = score, rel
-        if best >= SOFT_MIN_THRESHOLD or best_rel is None:
+        if best >= self.soft_threshold or best_rel is None:
             return None
         best_neg = 1.0
         for rule, rel in self.neg_rules:
             if rel != best_rel:
                 continue
             score = match_paths(mp, rule, SOFT_REPLACE_COST, SOFT_INSERT_COST,
-                                SOFT_DELETE_COST) / len(rule)
+                                SOFT_DELETE_COST,
+                                word_sim=self.word_sim) / len(rule)
             best_neg = min(best_neg, score)
         if best < best_neg * SOFT_NEG_DISCOUNT:
             return best_rel
