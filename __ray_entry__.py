@@ -307,10 +307,34 @@ def _q_bootstrap_candidates(sf_dir: str):
 
 
 def _q_annotations(sf_dir: str):
-    import ray.data
+    """Annotation-cache stage → per-turn fingerprint rows (comparable
+    form: nested list-columns hash via canonical md5 on both sides)."""
+    import pyarrow as pa
+
+    from ice_ray.oracle import annotation_fingerprint
     from ice_ray.stages.annotator import Annotator
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        sents = batch.column("sentences").to_pylist()
+        toks = batch.column("tokens").to_pylist()
+        ments = batch.column("mentions").to_pylist()
+        deps = batch.column("deps").to_pylist()
+        return pa.table({
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "n_sentences": pa.array([len(x) for x in sents], pa.int64()),
+            "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+            "n_mentions": pa.array([len(x) for x in ments], pa.int64()),
+            "n_deps": pa.array([len(x) for x in deps], pa.int64()),
+            "ann_fp": pa.array(
+                [annotation_fingerprint(s, t, m, d)
+                 for s, t, m, d in zip(sents, toks, ments, deps)],
+                pa.string()),
+        })
+
     return _synth_transcripts(500).map_batches(
-        Annotator, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+        Annotator, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 2)).map_batches(to_fp, batch_format="pyarrow")
 
 
 def _q_minhash_neardup(sf_dir: str):
@@ -354,9 +378,56 @@ def _q_ice_terms(sf_dir: str):
 
 
 def _q_pmi_index(sf_dir: str):
+    """PMI index flattened to comparable (term, ctx, pmi) cells."""
+    import pyarrow as pa
+
     from ice_ray.pipelines.entity_index import build_pmi_index
     from ice_ray.pipelines.preprocess import annotate
-    return build_pmi_index(annotate(_synth_transcripts(1500)))
+
+    idx = build_pmi_index(annotate(_synth_transcripts(1500)))
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        terms, ctxs, pmis = [], [], []
+        for term, contexts in zip(batch.column("term").to_pylist(),
+                                  batch.column("contexts").to_pylist()):
+            for c in contexts:
+                terms.append(term)
+                ctxs.append(c["ctx"])
+                pmis.append(round(c["pmi"], 6))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "ctx": pa.array(ctxs, pa.string()),
+                         "pmi": pa.array(pmis, pa.float64())})
+
+    return idx.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_soft_decode(sf_dir: str):
+    """Embedding-scaled soft decode (J5+F3): the out-of-rule verb
+    'resides' is recovered because it is embedding-near 'live'; the
+    embedding-far 'shuns' stays out.  Gold is template-derived."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.config import PipelineConfig
+    from ice_ray.oracle import SOFT_DECODE_EMB, SOFT_DECODE_TURNS
+    from ice_ray.pipelines.kg import decode_edges, extract_paths
+    from ice_ray.sources.models import DEFAULT_RELATION_RULES
+
+    n = len(SOFT_DECODE_TURNS)
+    turns = ray.data.from_arrow(pa.table({
+        "conv_id": pa.array(["soft-0"] * n),
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(SOFT_DECODE_TURNS),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([dt.datetime(2024, 1, 1)] * n, pa.timestamp("us")),
+    }))
+    cfg = PipelineConfig(soft_match=True, soft_threshold=0.3)
+    paths = extract_paths(turns, cfg, emit_repr=False)
+    return decode_edges(paths, DEFAULT_RELATION_RULES, cfg,
+                        embeddings=SOFT_DECODE_EMB)
 
 
 def _q_path_instance_counts(sf_dir: str):
@@ -444,7 +515,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
+        "soft_decode": _q_soft_decode,
     }
+
+
+# Gold-parquet oracles (ice_ray/oracle.py): template-derived for
+# kg_edges/soft_decode, serial-reference for the rest.  Synthetic-corpus
+# golds are scale-independent; docs/events/embeddings golds are keyed by
+# input row count so one static SQL string serves every scale factor.
+_GOLD = "/root/repo/tests/gold"
+
+
+def _gold_synth(name: str) -> str:
+    return f"SELECT * FROM read_parquet('{_GOLD}/synth/{name}.parquet')"
+
+
+_KEY_SQL = {
+    # content fingerprints matching ice_ray.oracle.docs_fingerprint /
+    # emb_fingerprint (row counts collide across scale factors)
+    "docs": ("docs_", """substr(md5((SELECT string_agg(length(text)::VARCHAR,
+              ',' ORDER BY doc_id) FROM documents)), 1, 8)"""),
+    "emb": ("emb_", """substr(md5((SELECT string_agg(label::VARCHAR,
+             ',' ORDER BY vec_id) FROM embeddings)), 1, 8)"""),
+    "events": ("events", "(SELECT count(*)::VARCHAR FROM events)"),
+}
+
+
+def _gold_keyed(name: str, kind: str) -> str:
+    prefix, key_expr = _KEY_SQL[kind]
+    return f"""
+        SELECT * EXCLUDE (filename)
+        FROM read_parquet('{_GOLD}/{prefix}*/{name}.parquet', filename=true)
+        WHERE filename LIKE '%/{prefix}' || ({key_expr}) || '/%'
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -581,4 +684,25 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(pc.n / rs.r / (cs.c / tot.t)), 6) AS pmi
             FROM pc JOIN rs USING (term) JOIN cs USING (ctx), tot
         """,
+        # --- gold-parquet oracles (synthetic corpus; scale-independent) ---
+        "kg_edges": _gold_synth("kg_edges"),
+        "path_type_counts": _gold_synth("path_type_counts"),
+        "path_instance_counts": _gold_synth("path_instance_counts"),
+        "tree_counts": _gold_synth("tree_counts"),
+        "events_decoded": _gold_synth("events_decoded"),
+        "annotations": _gold_synth("annotations"),
+        "ice_terms": _gold_synth("ice_terms"),
+        "pmi_index": _gold_synth("pmi_index"),
+        "bootstrap_candidates": _gold_synth("bootstrap_candidates"),
+        "soft_decode": _gold_synth("soft_decode"),
+        # --- gold-parquet oracles keyed by input-table content ---
+        "minhash_neardup": _gold_keyed("minhash_neardup", "docs"),
+        "simhash": _gold_keyed("simhash", "docs"),
+        "quality": _gold_keyed("quality", "docs"),
+        "lang_id": _gold_keyed("lang_id", "docs"),
+        "bpe_tokens": _gold_keyed("bpe_tokens", "docs"),
+        "knn_lsh": _gold_keyed("knn_lsh", "emb"),
+        "embedding_neardup": _gold_keyed("embedding_neardup", "emb"),
+        "approx_distinct_users": _gold_keyed("approx_distinct_users",
+                                             "events"),
     }

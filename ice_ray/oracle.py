@@ -1,0 +1,526 @@
+"""Serial gold-output generation for the driver's DuckDB correctness gate.
+
+The KG/NLP/dedup family of queries() has no natural ANSI-SQL oracle, so
+each gets a GOLD PARQUET computed here and registered through
+``oracle_sql()`` as ``SELECT ... FROM read_parquet('<gold>')``.  Two gold
+classes:
+
+- **template-derived** (kg_edges, soft_decode): computed from the corpus
+  GENERATOR's template instantiation — fully independent of the
+  extraction implementation (the same gold the P/R harness uses);
+- **serial-reference** (everything else): the same leaf kernels the Ray
+  stages use, wired as a single-threaded loop with NO Ray — verifying
+  that the distributed plumbing (actor pools, bucketed shuffles,
+  first-wins aggregates, joins) reproduces the serial result exactly.
+
+Gold files live under ``tests/gold/`` keyed by input: ``synth/`` for the
+fixed synthetic-corpus queries and ``docs<N>/`` / ``events<N>`` /
+``emb<N>`` dirs keyed by input-table row count so ONE static SQL string
+(with a filename LIKE filter on the count) serves every scale factor.
+
+Regenerate with ``python -m ice_ray.oracle`` after any change to corpus
+templates or operator semantics; tests/test_gold_oracle.py fails if the
+committed gold drifts from live query output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import zlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .config import MAX_BOOTSTRAPPED_ITEMS, MIN_RELATION_COUNT, TERM_STOPWORDS
+from .core.annotate import annotate_text
+from .core.extract import extract_paths_from_turn
+from .core.trees import extract_trees_from_turn
+from .nlp.lexicon import (
+    CITIES,
+    COUNTRIES,
+    DRUGS,
+    ORGS,
+    build_entity_dict,
+    lower_entity_dict,
+    max_entity_phrase_len,
+)
+from .nlp.stemmer import stem
+from .sources.transcripts import generate_transcripts
+
+GOLD_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "tests", "gold")
+
+# inline embedding table for the soft_decode query (stemmed keys)
+SOFT_DECODE_EMB = {
+    "live": [1.0, 0.1, 0.0],
+    "reside": [0.95, 0.12, 0.0],
+    "shun": [0.0, 0.0, 1.0],
+}
+SOFT_DECODE_TURNS = [
+    "Fred Smith resides in Chicago.",
+    "Karl Brown shuns Paris.",
+]
+
+
+# ---------------------------------------------------------------- helpers
+
+class _SerialAnnotator:
+    """Single-process annotate + extract with a distinct-text memo."""
+
+    def __init__(self):
+        self.d = build_entity_dict()
+        self.lower = lower_entity_dict(self.d)
+        self.max_len = max_entity_phrase_len(self.d)
+        self._ann: dict[str, dict] = {}
+
+    def annotate(self, text: str) -> dict:
+        ann = self._ann.get(text)
+        if ann is None:
+            ann = annotate_text(text or "", self.d, self.max_len, self.lower)
+            self._ann[text] = ann
+        return ann
+
+
+def _serial_path_rows(n_turns: int, emit_repr: bool = True) -> pd.DataFrame:
+    """Serial extract_paths over the synthetic corpus (same leaf calls as
+    stages/annotator.AnnotateExtract, no Ray)."""
+    tr, _ = generate_transcripts(n_turns, seed=42)
+    sa = _SerialAnnotator()
+    memo: dict[str, list] = {}
+    rows = []
+    for cid, ti, text in zip(tr.column("conv_id").to_pylist(),
+                             tr.column("turn_idx").to_pylist(),
+                             tr.column("text").to_pylist()):
+        text = text or ""
+        prows = memo.get(text)
+        if prows is None:
+            ann = sa.annotate(text)
+            prows = extract_paths_from_turn(
+                text, ann["sentences"], ann["tokens"], ann["mentions"],
+                ann["deps"], emit_repr=emit_repr)
+            memo[text] = prows
+        for r in prows:
+            rows.append({"conv_id": cid, "turn_idx": ti, **r})
+    return pd.DataFrame(rows)
+
+
+def _src_key(conv: str, turn: int) -> str:
+    return f"{conv}#{turn:09d}"
+
+
+def _entity_type(name: str) -> str:
+    if name in CITIES or name in COUNTRIES:
+        return "GPE"
+    if name in ORGS:
+        return "ORGANIZATION"
+    if name in DRUGS:
+        return "DRUGS"
+    return "PERSON"
+
+
+# ------------------------------------------------------- synthetic corpus
+
+def gold_kg_edges(n_turns: int = 3000) -> pd.DataFrame:
+    """Template-derived gold for build_kg: dedup of the generator's gold
+    triples with weight + min-src provenance + vocabulary types."""
+    _, gold = generate_transcripts(n_turns, seed=42)
+    g = gold.to_pandas()
+    g["src"] = [_src_key(c, t) for c, t in zip(g.conv_id, g.turn_idx)]
+    agg = (g.groupby(["subj", "pred", "obj"])
+           .agg(weight=("src", "size"), first_src=("src", "min"))
+           .reset_index())
+    agg["subj_type"] = agg["subj"].map(_entity_type)
+    agg["obj_type"] = agg["obj"].map(_entity_type)
+    agg["conv_id"] = agg["first_src"].str.split("#").str[0]
+    agg["turn_idx"] = agg["first_src"].str.split("#").str[1].astype("int32")
+    agg = agg.drop(columns=["first_src"])
+    return agg[["subj", "pred", "obj", "weight", "subj_type", "obj_type",
+                "conv_id", "turn_idx"]].sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+
+def gold_path_type_counts(n_turns: int = 3000) -> pd.DataFrame:
+    df = _serial_path_rows(n_turns, emit_repr=True)
+    df["payload"] = [f"{_src_key(c, t)}\x01{r}\x01{e}" for c, t, r, e in
+                     zip(df.conv_id, df.turn_idx, df["repr"], df.example)]
+    agg = (df.groupby("typed_path")
+           .agg(count=("payload", "size"), payload=("payload", "min"))
+           .reset_index())
+    agg["repr"] = agg["payload"].str.split("\x01").str[1]
+    agg["example"] = agg["payload"].str.split("\x01").str[2]
+    return agg.drop(columns=["payload"])
+
+
+def gold_path_instance_counts(n_turns: int = 1500) -> pd.DataFrame:
+    df = _serial_path_rows(n_turns, emit_repr=True)
+    return (df.groupby("instance_key").size().rename("count")
+            .reset_index())
+
+
+def _serial_tree_rows(n_turns: int) -> pd.DataFrame:
+    tr, _ = generate_transcripts(n_turns, seed=42)
+    sa = _SerialAnnotator()
+    memo: dict[str, list] = {}
+    rows = []
+    for cid, ti, text in zip(tr.column("conv_id").to_pylist(),
+                             tr.column("turn_idx").to_pylist(),
+                             tr.column("text").to_pylist()):
+        text = text or ""
+        trows = memo.get(text)
+        if trows is None:
+            ann = sa.annotate(text)
+            trows = extract_trees_from_turn(
+                text, ann["sentences"], ann["tokens"], ann["mentions"],
+                ann["deps"])
+            memo[text] = trows
+        for r in trows:
+            rows.append({"conv_id": cid, "turn_idx": ti,
+                         "trigger": r["trigger"], "core": r["core"],
+                         "repr": r["repr"]})
+    return pd.DataFrame(rows)
+
+
+def gold_tree_counts(n_turns: int = 1500) -> pd.DataFrame:
+    df = _serial_tree_rows(n_turns)
+    df["payload"] = [f"{_src_key(c, t)}\x01{r}" for c, t, r in
+                     zip(df.conv_id, df.turn_idx, df["repr"])]
+    agg = (df.groupby("core")
+           .agg(count=("payload", "size"), payload=("payload", "min"))
+           .reset_index())
+    agg["repr"] = agg["payload"].str.split("\x01").str[1]
+    return agg.drop(columns=["payload"])
+
+
+def gold_events_decoded(n_turns: int = 1500) -> pd.DataFrame:
+    from .pipelines.events import DEFAULT_EVENT_RULES, _core_prefix
+
+    df = _serial_tree_rows(n_turns)
+    df["event_type"] = [DEFAULT_EVENT_RULES.get(_core_prefix(c))
+                        for c in df["core"]]
+    df = df[df["event_type"].notna()].reset_index(drop=True)
+    return df[["conv_id", "turn_idx", "trigger", "core", "repr", "event_type"]]
+
+
+def _serial_annotations(n_turns: int):
+    tr, _ = generate_transcripts(n_turns, seed=42)
+    sa = _SerialAnnotator()
+    for cid, ti, text in zip(tr.column("conv_id").to_pylist(),
+                             tr.column("turn_idx").to_pylist(),
+                             tr.column("text").to_pylist()):
+        yield cid, ti, sa.annotate(text or "")
+
+
+def ann_struct_dicts(ann: dict) -> tuple[list, list, list, list]:
+    """The exact struct-dict form stages/annotator.Annotator emits (the
+    fingerprint below hashes THIS form on both the serial and Ray side)."""
+    sents = [{"start": s, "end": e} for s, e in ann["sentences"]]
+    toks = [{"start": s, "end": e, "word": w, "pos": p}
+            for s, e, w, p in ann["tokens"]]
+    ments = [{"start": a, "end": b, "head_start": c, "head_end": d,
+              "type": t, "mtype": m}
+             for a, b, c, d, t, m in ann["mentions"]]
+    deps = [{"label": l, "src_word": sw, "src_posn": sp, "src_pos": spos,
+             "tgt_word": tw, "tgt_posn": tp, "tgt_pos": tpos}
+            for l, sw, sp, spos, tw, tp, tpos in ann["deps"]]
+    return sents, toks, ments, deps
+
+
+def annotation_fingerprint(sents, toks, ments, deps) -> str:
+    """Canonical md5 of the annotation struct lists (stable across block
+    layouts and list/tuple representations)."""
+    return hashlib.md5(json.dumps(
+        {"s": sents, "t": toks, "m": ments, "d": deps},
+        sort_keys=True).encode()).hexdigest()
+
+
+def gold_annotations(n_turns: int = 500) -> pd.DataFrame:
+    rows = []
+    for cid, ti, ann in _serial_annotations(n_turns):
+        sents, toks, ments, deps = ann_struct_dicts(ann)
+        rows.append({"conv_id": cid, "turn_idx": ti,
+                     "n_sentences": len(sents),
+                     "n_tokens": len(toks),
+                     "n_mentions": len(ments),
+                     "n_deps": len(deps),
+                     "ann_fp": annotation_fingerprint(sents, toks, ments, deps)})
+    return pd.DataFrame(rows)
+
+
+def gold_ice_terms(n_turns: int = 1500) -> pd.DataFrame:
+    freq: Counter = Counter()
+    doc_freq: Counter = Counter()
+    for _, _, ann in _serial_annotations(n_turns):
+        local: Counter = Counter()
+        toks = [{"start": s, "end": e, "word": w, "pos": p}
+                for s, e, w, p in ann["tokens"]]
+        ments = [{"start": a, "end": b, "type": t, "mtype": m}
+                 for a, b, _, _, t, m in ann["mentions"]]
+        name_spans = [(m["start"], m["end"]) for m in ments
+                      if m["mtype"] == "NAM"]
+        run: list[dict] = []
+        for t in toks + [None]:
+            if t is not None and t["pos"] in ("NN", "NNS") or \
+                    (t is not None and t["pos"].startswith("JJ")):
+                run.append(t)
+                continue
+            if run:
+                in_name = any(s <= run[0]["start"] < e for s, e in name_spans)
+                if not in_name:
+                    words = [r["word"] for r in run]
+                    for i in range(len(words) - 1, -1, -1):
+                        w = words[i]
+                        if len(w) <= 1 or w in TERM_STOPWORDS or w.startswith("'"):
+                            break
+                        local[" ".join(words[i:]) + "/nn"] += 1
+                run = []
+        for m in ments:
+            if m["mtype"] != "NAM" or m["type"] in ("NUMBER", "MONEY", "TIME"):
+                continue
+            for t in toks:
+                if t["start"] == m["start"]:
+                    term = t["word"].replace("_", " ") + "/nnp"
+                    if len(term) > 5 and term[0].isalpha():
+                        local[term] += 1
+                    break
+        freq.update(local)
+        doc_freq.update(local.keys())
+    return pd.DataFrame({"term": list(freq.keys()),
+                         "freq": [freq[t] for t in freq],
+                         "doc_freq": [doc_freq[t] for t in freq]})
+
+
+def gold_pmi_index(n_turns: int = 1500, min_pmi: float = 0.1) -> pd.DataFrame:
+    """Flat (term, ctx, pmi) cells (the comparable form of the PMI index)."""
+    c: Counter = Counter()
+    for _, _, ann in _serial_annotations(n_turns):
+        nn_at = {t[0]: t[2] for t in ann["tokens"]
+                 if t[3] in ("NN", "NNS") and len(t[2]) > 1
+                 and t[2].lower() not in TERM_STOPWORDS}
+        for d in ann["deps"]:
+            label, sw, sp, _, tw_, tp, _ = d
+            t_w = nn_at.get(tp)
+            if t_w is not None and sw.lower() not in TERM_STOPWORDS:
+                c[(t_w.lower(), f"{label}-1_{stem(sw.lower())}")] += 1
+            s_w = nn_at.get(sp)
+            if s_w is not None and tw_.lower() not in TERM_STOPWORDS:
+                c[(s_w.lower(), f"{label}_{stem(tw_.lower())}")] += 1
+    rs: Counter = Counter()
+    cs: Counter = Counter()
+    for (t, x), n in c.items():
+        rs[t] += n
+        cs[x] += n
+    n_total = sum(rs.values())
+    rows = []
+    for (t, x), n in c.items():
+        pmi = math.log(n / rs[t] / (cs[x] / n_total))
+        if pmi > min_pmi:
+            rows.append({"term": t, "ctx": x, "pmi": round(pmi, 6)})
+    return pd.DataFrame(rows)
+
+
+def gold_bootstrap_candidates(n_turns: int = 2000,
+                              seeds=("nsubj-1:live:prep:in:pobj",),
+                              min_shared: int = MIN_RELATION_COUNT) -> pd.DataFrame:
+    df = _serial_path_rows(n_turns, emit_repr=True)
+    df["arg_pair"] = (df["arg1_text"].str.lower() + ":"
+                      + df["arg2_text"].str.lower())
+    seed_set = set(seeds)
+    seed_pairs = set(df.loc[df["path"].isin(seed_set), "arg_pair"])
+    shared = df[df["arg_pair"].isin(seed_pairs)][["path", "arg_pair"]]
+    per_path = (shared.drop_duplicates().groupby("path").size()
+                .rename("n_shared_pairs").reset_index())
+    per_path = per_path[~per_path["path"].isin(seed_set)]
+    per_path = per_path[per_path["n_shared_pairs"] >= min_shared]
+    per_path["score"] = per_path["n_shared_pairs"].astype(float)
+    per_path = per_path.sort_values(["score", "path"],
+                                    ascending=[False, True],
+                                    kind="mergesort").head(MAX_BOOTSTRAPPED_ITEMS)
+    return per_path.reset_index(drop=True)
+
+
+def gold_soft_decode() -> pd.DataFrame:
+    """Template-derived: the embedding-near verb decodes to livesIn, the
+    embedding-far verb does not."""
+    return pd.DataFrame([{
+        "subj": "Fred Smith", "pred": "livesIn", "obj": "Chicago",
+        "subj_type": "PERSON", "obj_type": "GPE",
+        "conv_id": "soft-0", "turn_idx": 0,
+    }]).astype({"turn_idx": "int32"})
+
+
+# ---------------------------------------------------------- docs / events
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+def gold_minhash_neardup(sf_dir: str, threshold: float = 0.5,
+                         num_perm: int = 64, bands: int = 16,
+                         k: int = 3) -> pd.DataFrame:
+    from .stages.dedup import MAX_BUCKET, MinHasher
+
+    docs = _docs_table(sf_dir)
+    mh = MinHasher(num_perm=num_perm, bands=bands, k=k)
+    ids = docs.column("doc_id").to_pylist()
+    sigs = {i: mh.signature(t) for i, t in
+            zip(ids, docs.column("text").to_pylist())}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    rows_per_band = num_perm // bands
+    for i in ids:
+        sig = sigs[i]
+        for b in range(bands):
+            h = int(zlib.crc32(sig[b * rows_per_band:(b + 1) * rows_per_band]
+                               .tobytes()))
+            buckets.setdefault((b, h), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        u = sorted(set(members))
+        if len(u) < 2:
+            continue
+        if len(u) > MAX_BUCKET:
+            pairs.update((u[0], j) for j in u[1:])
+        else:
+            pairs.update((a, b) for ai, a in enumerate(u) for b in u[ai + 1:])
+    rows = []
+    for a, b in sorted(pairs):
+        est = round(float((sigs[a] == sigs[b]).mean()), 6)
+        if est >= threshold:
+            rows.append({"id1": a, "id2": b, "est_jaccard": est})
+    return pd.DataFrame(rows, columns=["id1", "id2", "est_jaccard"]).astype(
+        {"id1": "int64", "id2": "int64", "est_jaccard": "float64"})
+
+
+def gold_docs_rowwise(sf_dir: str) -> dict[str, pd.DataFrame]:
+    """Row-wise doc stats: run the SAME batch kernels on the whole table
+    as one serial batch."""
+    from .stages.dedup import SimHasher
+    from .stages.textstats import LangId, bpe_token_stats, quality_score
+
+    docs = _docs_table(sf_dir)
+    return {
+        "simhash": SimHasher()(docs).to_pandas(),
+        "quality": quality_score(docs).to_pandas(),
+        "lang_id": LangId()(docs).to_pandas(),
+        "bpe_tokens": bpe_token_stats(docs).to_pandas(),
+    }
+
+
+def gold_embeddings(sf_dir: str) -> dict[str, pd.DataFrame]:
+    from .stages.similarity import HyperplaneBucketer
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.column("embedding")[0].as_py())
+    bucketer = HyperplaneBucketer(dim=dim)
+    knn_lsh = (bucketer(emb).select(["vec_id", "label", "bucket"])
+               .to_pandas())
+    # embedding near-dup: exact verify inside each LSH bucket (serial)
+    bdf = bucketer(emb).to_pandas()
+    rows = []
+    for _, g in bdf.groupby("bucket", sort=True):
+        m = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        ids_ = g["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mn = m / norms
+        n = len(g)
+        truncated = n > 256
+        if truncated:
+            mn, ids_ = mn[:256], ids_[:256]
+            n = 256
+        cos = mn @ mn.T
+        for i in range(n):
+            for j in range(i + 1, n):
+                cv = round(float(cos[i, j]), 6)
+                if cv >= 0.9:
+                    a, b = sorted((int(ids_[i]), int(ids_[j])))
+                    rows.append({"id1": a, "id2": b, "cosine": cv,
+                                 "truncated": truncated})
+    neardup = pd.DataFrame(rows, columns=["id1", "id2", "cosine", "truncated"])
+    neardup = neardup.astype({"id1": "int64", "id2": "int64",
+                              "cosine": "float64", "truncated": "bool"})
+    return {"knn_lsh": knn_lsh, "embedding_neardup": neardup}
+
+
+def gold_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    from .functions.sketches import HyperLogLog
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    hll = HyperLogLog()
+    hll.add_values(ev.column("user_id").to_pylist())
+    return pd.DataFrame({"approx_distinct_users": [round(hll.estimate())]})
+
+
+# ------------------------------------------------------------- write gold
+
+SYNTH_GOLD = {
+    "kg_edges": gold_kg_edges,
+    "path_type_counts": gold_path_type_counts,
+    "path_instance_counts": gold_path_instance_counts,
+    "tree_counts": gold_tree_counts,
+    "events_decoded": gold_events_decoded,
+    "annotations": gold_annotations,
+    "ice_terms": gold_ice_terms,
+    "pmi_index": gold_pmi_index,
+    "bootstrap_candidates": gold_bootstrap_candidates,
+    "soft_decode": gold_soft_decode,
+}
+
+
+def docs_fingerprint(sf_dir: str) -> str:
+    """8-hex content key of the documents table, identical to the SQL
+    ``substr(md5(string_agg(length(text)::VARCHAR, ',' ORDER BY
+    doc_id)), 1, 8)`` (row counts alone collide across scale factors)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    joined = ",".join(str(len(x)) for x in t["text"])
+    return hashlib.md5(joined.encode()).hexdigest()[:8]
+
+
+def emb_fingerprint(sf_dir: str) -> str:
+    """8-hex content key of the embeddings table (md5 of the label
+    sequence ordered by vec_id)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "label"]).to_pandas()
+    t = t.sort_values("vec_id")
+    joined = ",".join(str(int(x)) for x in t["label"])
+    return hashlib.md5(joined.encode()).hexdigest()[:8]
+
+
+def write_gold(sf_dirs: list[str], out_dir: str = GOLD_DIR) -> list[str]:
+    written = []
+
+    def _write(subdir: str, name: str, df: pd.DataFrame):
+        d = os.path.join(out_dir, subdir)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+        written.append(p)
+
+    for name, fn in SYNTH_GOLD.items():
+        _write("synth", name, fn())
+    for sf_dir in sf_dirs:
+        dkey = f"docs_{docs_fingerprint(sf_dir)}"
+        _write(dkey, "minhash_neardup", gold_minhash_neardup(sf_dir))
+        for name, df in gold_docs_rowwise(sf_dir).items():
+            _write(dkey, name, df)
+        ekey = f"emb_{emb_fingerprint(sf_dir)}"
+        for name, df in gold_embeddings(sf_dir).items():
+            _write(ekey, name, df)
+        n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+        _write(f"events{n_ev}", "approx_distinct_users",
+               gold_approx_distinct_users(sf_dir))
+    return written
+
+
+if __name__ == "__main__":
+    import sys
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    for p in write_gold(dirs):
+        print(p)

@@ -363,9 +363,12 @@ class SimHasher:
             h = self.simhash64(text)
             hs.append(h)
             buckets.append(h >> (64 - self.prefix_bits))
+        # int64 view of the 64-bit fingerprint (wraps negative) so the
+        # column survives engines whose canonical integer type is int64
+        hs64 = np.array(hs, dtype=np.uint64).astype(np.int64)
         return pa.table({"doc_id": ids,
-                         "simhash": pa.array(hs, pa.uint64()),
-                         "bucket": pa.array(buckets, pa.uint64())})
+                         "simhash": pa.array(hs64, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
 
 
 def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
