@@ -272,8 +272,7 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
 
     import ray
 
-    from ..functions.join import bucketed_hash_join
-    from ..functions.shuffle import grouped_aggregate
+    from ..functions.shuffle import grouped_aggregate, hash_mod
 
     def explode(batch: pa.Table) -> pa.Table:
         # undirected edges → both directions
@@ -283,6 +282,14 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
                          "nbr": pa.concat_arrays([b, a])})
 
     edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    # bucket count bounds reduce-group size (≈250k edge rows per group)
+    num_buckets = max(8, min(4096, n_edges // 250_000 + 1))
+    # pre-bucket edges by hash(nbr) ONCE — the per-round shuffle then
+    # moves only the (much smaller) label table
+    edges_b = edges.map_batches(
+        lambda t: t.append_column("_b", hash_mod(t.column("nbr"), num_buckets)),
+        batch_format="pyarrow").materialize()
     # initial label = own id
     labels = grouped_aggregate(
         edges.select_columns(["node"]).map_batches(
@@ -293,6 +300,21 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
     if strategy == "auto":
         strategy = ("broadcast" if labels.count() <= broadcast_max_nodes
                     else "join")
+
+    def _neighbor_min(df: pd.DataFrame) -> pd.DataFrame:
+        """One hash bucket: edge rows (node, nbr) + label rows for every
+        node hashing here → per-node min over neighbor labels (fused
+        join + combiner: one exchange per round instead of two)."""
+        is_edge = df["nbr"].notna()
+        lab = dict(zip(df.loc[~is_edge, "node"], df.loc[~is_edge, "label"]))
+        e = df[is_edge]
+        nl = e["nbr"].map(lab)
+        out = (pd.DataFrame({"node": e["node"].to_numpy(),
+                             "label": nl.to_numpy()})
+               .groupby("node", sort=False)["label"].min().reset_index())
+        out["node"] = out["node"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
 
     prev_sum = labels.sum("label")
     converged = False
@@ -316,15 +338,27 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
             msgs = edges.map_batches(Propagate, batch_format="pyarrow",
                                      concurrency=(1, 4))
         else:
-            lab_nbr = labels.map_batches(
-                lambda t: t.rename_columns(["nbr", "label"]),
+            # label rows join the edge buckets keyed by hash(label.node)
+            # == hash(edge.nbr); nbr=null marks the label side
+            lab_tagged = labels.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("node"),
+                    "nbr": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t.column("label"),
+                    "_b": hash_mod(t.column("node"), num_buckets)}),
                 batch_format="pyarrow")
-            msgs = bucketed_hash_join(edges, lab_nbr, "nbr", "nbr") \
-                .select_columns(["node", "label"])
+            edge_side = edges_b.map_batches(
+                lambda t: t.append_column("label",
+                                          pa.nulls(t.num_rows, pa.int64())),
+                batch_format="pyarrow")
+            msgs = (edge_side.union(lab_tagged)
+                    .groupby("_b")
+                    .map_groups(_neighbor_min, batch_format="pandas"))
         labels = grouped_aggregate(
             msgs.union(labels.select_columns(["node", "label"])),
             keys=["node"], specs=[("label", "min")],
-            rename={"label_min": "label"}).materialize()
+            rename={"label_min": "label"},
+            num_buckets=num_buckets).materialize()
         s = labels.sum("label")
         if s == prev_sum:
             converged = True

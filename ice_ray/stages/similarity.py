@@ -156,18 +156,22 @@ def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
 
     seeds = sample_n(ds.select_columns(["vec_id", col]), n_centroids,
                      id_col="vec_id").sort_values("vec_id")
-    centroids = np.asarray(seeds[col].tolist(), dtype=np.float64)
+    centroids = _l2_normalize(
+        np.asarray(seeds[col].tolist(), dtype=np.float64))
 
     import ray
 
+    # SPHERICAL k-means: vectors and centroids are L2-normalized and
+    # assignment is by cosine — the same metric the search ranks with
+    # (euclidean partitioning misaligns with cosine top-k and costs
+    # recall at fixed n_probe)
     for _ in range(refine_iters):
         cref = ray.put(centroids)
 
         def partial_sums(batch: pa.Table) -> pa.Table:
             cen = ray.get(cref)
-            m = _batch_matrix(batch, col)
-            d = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            m = _l2_normalize(_batch_matrix(batch, col))
+            assign = (m @ cen.T).argmax(axis=1)
             sums, counts = [], []
             for k in range(len(cen)):
                 sel = m[assign == k]
@@ -185,16 +189,15 @@ def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
             agg_s[k] += np.asarray(s)
             agg_n[k] += n
         nonzero = agg_n > 0
-        centroids[nonzero] = agg_s[nonzero] / agg_n[nonzero, None]
+        centroids[nonzero] = _l2_normalize(agg_s[nonzero])
 
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
         cen = ray.get(cref)
-        m = _batch_matrix(batch, col)
-        d = ((m[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        m = _l2_normalize(_batch_matrix(batch, col))
         return batch.append_column(
-            "centroid_id", pa.array(d.argmin(axis=1).astype("int32")))
+            "centroid_id", pa.array((m @ cen.T).argmax(axis=1).astype("int32")))
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     if persist_dir is not None:
@@ -203,11 +206,19 @@ def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
     return centroids, assigned
 
 
+def _l2_normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
 def _nearest_centroids(centroids: np.ndarray, query: np.ndarray,
                        n_probe: int) -> list[int]:
     q = np.asarray(query, dtype=np.float64)
-    d = ((centroids - q[None, :]) ** 2).sum(axis=1)
-    return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    qn = np.linalg.norm(q)
+    q = q / qn if qn else q
+    cos = _l2_normalize(centroids) @ q
+    return [int(i) for i in np.argsort(-cos, kind="stable")[:n_probe]]
 
 
 def ivf_search(centroids: np.ndarray, assigned, query: np.ndarray,
@@ -232,10 +243,12 @@ def ivf_search_persisted(centroids: np.ndarray, persist_dir: str,
 
     import ray.data
 
+    import glob
+
     probes = _nearest_centroids(centroids, query, n_probe)
-    dirs = [os.path.join(persist_dir, f"centroid_id={i}") for i in probes]
-    dirs = [d for d in dirs if os.path.isdir(d)]
-    cand = ray.data.read_parquet(dirs)
+    files = sorted(f for i in probes for f in glob.glob(
+        os.path.join(persist_dir, f"centroid_id={i}", "*.parquet")))
+    cand = ray.data.read_parquet(files)
     return knn_to_vector(cand, np.asarray(query, dtype=np.float64),
                          k=k, col=col)
 
