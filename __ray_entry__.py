@@ -67,22 +67,19 @@ def _q_term_ratio(sf_dir: str):
     bg_map = dict(zip(bg_pdf["term"], bg_pdf["doc_freq"]))
     bg_ref = ray.put(bg_map)
 
-    class Scorer:
-        def __init__(self):
-            self.bg = ray.get(bg_ref)
+    def scorer(batch: pa.Table) -> pa.Table:
+        bg = ray.get(bg_ref)
+        terms = batch.column("term").to_pylist()
+        f1 = [d + 1 for d in batch.column("doc_freq").to_pylist()]
+        f2 = [bg.get(t, 0) + 1 for t in terms]
+        score = [round(a / b * math.log(a), 6) for a, b in zip(f1, f2)]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "fg_df": pa.array(batch.column("doc_freq"), pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            terms = batch.column("term").to_pylist()
-            f1 = [d + 1 for d in batch.column("doc_freq").to_pylist()]
-            f2 = [self.bg.get(t, 0) + 1 for t in terms]
-            score = [round(a / b * math.log(a), 6) for a, b in zip(f1, f2)]
-            return pa.table({
-                "term": pa.array(terms, pa.string()),
-                "fg_df": pa.array(batch.column("doc_freq"), pa.int64()),
-                "score": pa.array(score, pa.float64()),
-            })
-
-    return fg.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 2))
+    return fg.map_batches(scorer, batch_format="pyarrow")
 
 
 def _q_top_terms(sf_dir: str):
@@ -143,7 +140,8 @@ def _q_top_users(sf_dir: str):
 def _q_knn_cosine(sf_dir: str):
     import ray.data
     from ice_ray.stages.similarity import centroid_of_label, knn_to_vector
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # two passes (centroid, then scoring) → materialize the read once
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
     centroid = centroid_of_label(emb, label=0)
     return knn_to_vector(emb, centroid, k=10)
 
@@ -160,22 +158,19 @@ def _q_customer_nation(sf_dir: str):
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    class AddName:
-        def __init__(self):
-            self.nmap = ray.get(nmap_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            names = [self.nmap.get(k) for k in batch.column("c_nationkey").to_pylist()]
-            g = (pa.table({"n_name": pa.array(names, pa.string())})
-                 .group_by(["n_name"]).aggregate([("n_name", "count")]))
-            return g.rename_columns(["n_name", "n"])
+    def add_name(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        names = [nmap.get(k) for k in batch.column("c_nationkey").to_pylist()]
+        g = (pa.table({"n_name": pa.array(names, pa.string())})
+             .group_by(["n_name"]).aggregate([("n_name", "count")]))
+        return g.rename_columns(["n_name", "n"])
 
     from ice_ray.functions.shuffle import grouped_aggregate
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                  columns=["c_nationkey"])
     return grouped_aggregate(
-        cust.map_batches(AddName, batch_format="pyarrow", concurrency=(1, 2)),
+        cust.map_batches(add_name, batch_format="pyarrow"),
         keys=["n_name"], specs=[("n", "sum")], rename={"n_sum": "n_customers"})
 
 
@@ -214,6 +209,36 @@ def _q_orders_by_segment(sf_dir: str):
                                  columns=["c_custkey", "c_mktsegment"])
     joined = bucketed_hash_join(orders, cust, "o_custkey", "c_custkey")
     return key_counts(joined, "c_mktsegment", alias="n_orders")
+
+
+def _q_events_last_order(sf_dir: str):
+    """Backward as-of join (custom operator: Ray Data has none): each
+    event picks the same customer's latest order-day summary at or
+    before the event time — bucket-by-key + per-bucket merge_asof
+    (functions/join.py:asof_join; one key's rows co-locate per bucket)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.functions.join import asof_join
+    from ice_ray.functions.shuffle import grouped_aggregate
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    # deterministic right side: per (customer, order day) summary
+    day = grouped_aggregate(
+        orders, keys=["o_custkey", "o_orderdate"],
+        specs=[("o_orderkey", "max"), ("o_orderkey", "count")],
+        rename={"o_orderkey_max": "last_orderkey",
+                "o_orderkey_count": "n_orders_day"})
+    day = day.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "o_orderdate", "last_orderkey", "n_orders_day"]),
+        batch_format="pyarrow")
+    return asof_join(events, day, on="user_id",
+                     left_ts="ts", right_ts="o_orderdate")
 
 
 def _q_term_pmi(sf_dir: str):
@@ -258,19 +283,16 @@ def _q_term_pmi(sf_dir: str):
     n_total = sum(rowsums.values())
     rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
 
-    class Pmi:
-        def __init__(self):
-            self.rs, self.cs = ray.get(rs_ref), ray.get(cs_ref)
+    def pmi_fn(batch: pa.Table) -> pa.Table:
+        rs, cs = ray.get(rs_ref), ray.get(cs_ref)
+        t = batch.column("term").to_pylist()
+        x = batch.column("ctx").to_pylist()
+        n = batch.column("n").to_pylist()
+        pmi = [round(math.log(c / rs[a] / (cs[b] / n_total)), 6)
+               for a, b, c in zip(t, x, n)]
+        return batch.append_column("pmi", pa.array(pmi, pa.float64()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            t = batch.column("term").to_pylist()
-            x = batch.column("ctx").to_pylist()
-            n = batch.column("n").to_pylist()
-            pmi = [round(math.log(c / self.rs[a] / (self.cs[b] / n_total)), 6)
-                   for a, b, c in zip(t, x, n)]
-            return batch.append_column("pmi", pa.array(pmi, pa.float64()))
-
-    return pairs.map_batches(Pmi, batch_format="pyarrow", concurrency=(1, 2))
+    return pairs.map_batches(pmi_fn, batch_format="pyarrow")
 
 
 # --- transcript/KG operators (rows-only driver check; the P/R harness in
@@ -344,8 +366,7 @@ def _q_minhash_neardup(sf_dir: str):
 
 def _q_simhash(sf_dir: str):
     from ice_ray.stages.dedup import SimHasher
-    return _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
-                                     concurrency=(1, 2))
+    return _docs(sf_dir).map_batches(SimHasher(), batch_format="pyarrow")
 
 
 def _q_quality(sf_dir: str):
@@ -355,8 +376,7 @@ def _q_quality(sf_dir: str):
 
 def _q_lang_id(sf_dir: str):
     from ice_ray.stages.textstats import LangId
-    return _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                     concurrency=(1, 2))
+    return _docs(sf_dir).map_batches(LangId(), batch_format="pyarrow")
 
 
 def _q_tree_counts(sf_dir: str):
@@ -463,9 +483,8 @@ def _q_knn_lsh(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.take(1)[0]["embedding"])
     return emb.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow",
-        fn_constructor_kwargs={"dim": dim},
-        concurrency=(1, 2)).select_columns(["vec_id", "label", "bucket"])
+        HyperplaneBucketer(dim=dim),
+        batch_format="pyarrow").select_columns(["vec_id", "label", "bucket"])
 
 
 def entry() -> Any:
@@ -499,6 +518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_status": _q_orders_by_status,
         "orders_by_segment": _q_orders_by_segment,
         "term_pmi": _q_term_pmi,
+        "events_last_order": _q_events_last_order,
         "kg_edges": _q_kg_edges,
         "path_type_counts": _q_path_type_counts,
         "tree_counts": _q_tree_counts,
@@ -683,6 +703,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT pc.term, pc.ctx, pc.n,
                    round(ln(pc.n / rs.r / (cs.c / tot.t)), 6) AS pmi
             FROM pc JOIN rs USING (term) JOIN cs USING (ctx), tot
+        """,
+        "events_last_order": """
+            WITH d AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS last_orderkey,
+                     count(*)::BIGINT AS n_orders_day
+              FROM orders GROUP BY 1, 2)
+            SELECT e.event_id, e.user_id, e.ts, d.last_orderkey, d.n_orders_day
+            FROM events e ASOF JOIN d
+              ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
         """,
         # --- gold-parquet oracles (synthetic corpus; scale-independent) ---
         "kg_edges": _gold_synth("kg_edges"),

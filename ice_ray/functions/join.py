@@ -76,3 +76,84 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
         return joined.select([n for n in want if n in joined.column_names])
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, on: str, left_ts: str, right_ts: str,
+              num_buckets: int = 32, suffix: str = "_r"):
+    """As-of join: for each left row, attach the right row with the same
+    key whose ``right_ts`` is the LATEST value ≤ ``left_ts`` (backward
+    as-of, inner).  Ray Data has no native as-of join; this is the
+    composition the engine uses — bucket both sides by hash(key), union,
+    then a per-bucket pandas ``merge_asof`` over (key, ts)-sorted frames.
+
+    Partitioning assumption (documented): one KEY's rows co-locate in
+    one bucket — per-bucket memory is that bucket's share of both sides,
+    so salt hot keys if a single key dominates.  Right-side non-key
+    columns colliding with left names get ``suffix``."""
+    import pandas as pd
+
+    from .shuffle import hash_mod
+
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    rkeep = [n for n in rnames if n not in (on, right_ts)]
+    rename_r = {n: (n + suffix if n in lnames else n) for n in rkeep}
+    out_rcols = [rename_r[n] for n in rkeep] + ["_rts"]
+    all_fields = list(zip(lschema.names, lschema.types)) + \
+        [(rename_r[n], rschema.types[rnames.index(n)]) for n in rkeep] + \
+        [("_rts", rschema.types[rnames.index(right_ts)])]
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for n, t in all_fields:
+                names.append(n)
+                if side == "L" and n in batch.column_names and n in lnames:
+                    cols.append(pc.cast(batch.column(n), t))
+                elif side == "R" and n == "_rts":
+                    cols.append(pc.cast(batch.column(right_ts), t))
+                elif side == "R" and n in rename_r.values():
+                    src = [k for k, v in rename_r.items() if v == n][0]
+                    cols.append(pc.cast(batch.column(src), t))
+                elif side == "R" and n == on:
+                    cols.append(pc.cast(batch.column(on), t))
+                elif side == "R" and n == left_ts and right_ts == left_ts:
+                    cols.append(pc.cast(batch.column(right_ts), t))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, t))
+            out = pa.table(dict(zip(names, cols)))
+            return (out.append_column("_bucket",
+                                      hash_mod(batch.column(on), num_buckets))
+                       .append_column("_side",
+                                      pa.array([side] * batch.num_rows)))
+        return fn
+
+    tagged = (left.map_batches(tag("L"), batch_format="pyarrow")
+              .union(right.map_batches(tag("R"), batch_format="pyarrow")))
+
+    out_cols = lnames + [rename_r[n] for n in rkeep]
+    out_schema = pa.schema(
+        [(n, t) for n, t in all_fields if n in out_cols])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == "L"][lnames].sort_values(left_ts, kind="mergesort")
+        r = (df[df["_side"] == "R"][[on, "_rts"] + [rename_r[n] for n in rkeep]]
+             .sort_values("_rts", kind="mergesort"))
+        if l.empty or r.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = pd.merge_asof(l, r, left_on=left_ts, right_on="_rts",
+                            by=on, direction="backward")
+        out = out[out["_rts"].notna()].drop(columns=["_rts"])
+        return out[out_cols]
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # empty buckets (object-dtype empties) lose the schema; restore
+        if t.num_rows == 0 or set(t.column_names) != set(out_cols):
+            return out_schema.empty_table()
+        cols = [pc.cast(t.column(n), out_schema.field(n).type)
+                for n in out_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    return (tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+            .map_batches(coerce, batch_format="pyarrow"))

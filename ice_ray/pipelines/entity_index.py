@@ -51,8 +51,14 @@ class ContextFeaturizer:
         })
 
 
-def build_pmi_index(annotations, min_pmi: float = 0.1):
-    """→ (term, contexts list<struct<ctx,pmi>>) dataset."""
+def build_pmi_index(annotations, min_pmi: float = 0.1,
+                    strategy: str = "broadcast"):
+    """→ (term, contexts list<struct<ctx,pmi>>) dataset.
+
+    Priors shipping: ``broadcast`` (default) sends the term/ctx marginal
+    dicts via ray.put — vocabulary-bounded; ``join`` (open-web vocab
+    scale path) attaches the marginals with two bucketed hash joins
+    instead (sub-linear memory)."""
     import ray
 
     from ..functions.shuffle import grouped_aggregate
@@ -62,24 +68,44 @@ def build_pmi_index(annotations, min_pmi: float = 0.1):
                                 concurrency=(1, 8)),
         keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
     ).materialize()
-    rs_pdf = grouped_aggregate(counts, keys=["term"], specs=[("n", "sum")],
-                               rename={"n_sum": "rs"}).to_pandas()
-    rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
-    cs_pdf = grouped_aggregate(counts, keys=["ctx"], specs=[("n", "sum")],
-                               rename={"n_sum": "cs"}).to_pandas()
-    colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
-    n_total = sum(rowsums.values())
-    rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
+    n_total = counts.sum("n")
+    if strategy == "join":
+        from ..functions.join import bucketed_hash_join
 
-    class PmiCell:
-        def __init__(self):
-            self.rs, self.cs = ray.get(rs_ref), ray.get(cs_ref)
+        rs = grouped_aggregate(counts, keys=["term"], specs=[("n", "sum")],
+                               rename={"n_sum": "rs"}).materialize()
+        cs = grouped_aggregate(counts, keys=["ctx"], specs=[("n", "sum")],
+                               rename={"n_sum": "cs"}).materialize()
+        with_rs = bucketed_hash_join(counts, rs, "term", "term").materialize()
+        with_cs = bucketed_hash_join(with_rs, cs, "ctx", "ctx")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+        def cell(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            n = pc.cast(batch.column("n"), pa.float64())
+            r = pc.cast(batch.column("rs"), pa.float64())
+            c = pc.cast(batch.column("cs"), pa.float64())
+            pmi = pc.ln(pc.divide(pc.divide(n, r),
+                                  pc.divide(c, float(n_total))))
+            return pa.table({"term": batch.column("term"),
+                             "ctx": batch.column("ctx"),
+                             "pmi": pmi})
+
+        cells = with_cs.map_batches(cell, batch_format="pyarrow")
+    else:
+        rs_pdf = grouped_aggregate(counts, keys=["term"], specs=[("n", "sum")],
+                                   rename={"n_sum": "rs"}).to_pandas()
+        rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
+        cs_pdf = grouped_aggregate(counts, keys=["ctx"], specs=[("n", "sum")],
+                                   rename={"n_sum": "cs"}).to_pandas()
+        colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
+        rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
+
+        def cell(batch: pa.Table) -> pa.Table:
+            rs_map, cs_map = ray.get(rs_ref), ray.get(cs_ref)
             t = batch.column("term").to_pylist()
             x = batch.column("ctx").to_pylist()
             n = batch.column("n").to_pylist()
-            pmi = [math.log(c / self.rs[a] / (self.cs[b] / n_total))
+            pmi = [math.log(c / rs_map[a] / (cs_map[b] / n_total))
                    for a, b, c in zip(t, x, n)]
             return pa.table({
                 "term": pa.array(t, pa.string()),
@@ -87,7 +113,7 @@ def build_pmi_index(annotations, min_pmi: float = 0.1):
                 "pmi": pa.array(pmi, pa.float64()),
             })
 
-    cells = counts.map_batches(PmiCell, batch_format="pyarrow", concurrency=(1, 2))
+        cells = counts.map_batches(cell, batch_format="pyarrow")
     cells = cells.filter(expr=f"pmi > {min_pmi}")
 
     import pandas as pd

@@ -141,28 +141,33 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     # the registry/canonical aggregates, once for the rewrite).  Coalesce
     # first: extraction emits one small block per task, and per-block
     # overhead would otherwise dominate every downstream shuffle.
+    from ..stages.linker import resolve_pronoun_edges
+
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     edges = edges.repartition(ncpu * 2).materialize()
     if strategy == "shuffle":
         linked = link_edges_by_conversation(edges).materialize()
         canon = build_canonical_map(linked)
-        return linked.map_batches(
+        rewritten = linked.map_batches(
             CanonicalRewriter,
             fn_constructor_kwargs={"canon_ref": ray.put(canon)},
             batch_format="pyarrow",
             concurrency=(1, _pool_max()),
         )
-    from ..stages.linker import LinkCanonRewriter, build_link_state
+    else:
+        from ..stages.linker import LinkCanonRewriter, build_link_state
 
-    registry, canon, mentions = build_link_state(edges)
-    return edges.map_batches(
-        LinkCanonRewriter,
-        fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                               "canon_ref": ray.put(canon),
-                               "mentions_ref": ray.put(mentions)},
-        batch_format="pyarrow",
-        concurrency=(1, _pool_max()),
-    )
+        registry, canon = build_link_state(edges)
+        rewritten = edges.map_batches(
+            LinkCanonRewriter,
+            fn_constructor_kwargs={"registry_ref": ray.put(registry),
+                                   "canon_ref": ray.put(canon)},
+            batch_format="pyarrow",
+            concurrency=(1, _pool_max()),
+        )
+    # conversation-scoped pronoun coreference: its own bucketed exchange
+    # over slim mention rows (no driver state, skipped when pronoun-free)
+    return resolve_pronoun_edges(rewritten)
 
 
 def build_kg(transcripts: "ray.data.Dataset",

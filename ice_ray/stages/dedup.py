@@ -163,27 +163,45 @@ def _sig_est(batch: pa.Table) -> pa.Table:
                      "est_jaccard": pa.array(est, pa.float64())})
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_minhasher(num_perm: int, bands: int, k: int) -> "MinHasher":
+    return MinHasher(num_perm=num_perm, bands=bands, k=k)
+
+
 def minhash_signatures(ds, num_perm: int = 64, bands: int = 16, k: int = 3):
-    """→ materialized (doc_id, sig) dataset (≈0.5 KB/doc)."""
-    return ds.map_batches(
-        MinHasher, batch_format="pyarrow",
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k},
-        concurrency=(1, 8)).materialize()
+    """→ materialized (doc_id, sig) dataset (≈0.5 KB/doc).  Task-based
+    map (no actor pool — the hasher is cached per worker process via
+    lru_cache; actor startup would dominate small corpora)."""
+    def sign(batch: pa.Table) -> pa.Table:
+        return _cached_minhasher(num_perm, bands, k)(batch)
+
+    return ds.map_batches(sign, batch_format="pyarrow").materialize()
 
 
 def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
                           bands: int = 16, k: int = 3,
-                          num_work_buckets: int = 64):
+                          num_work_buckets: int = 64,
+                          broadcast_max_docs: int = 200_000):
     """→ distinct (id1, id2, est_jaccard ≥ threshold) candidate pairs.
 
     Pipeline: signatures once per doc → slim band rows (no signature
-    payload) → bucketed pair generation (ids only) → pair dedup → two
-    keyed joins re-attach signatures to the (small) candidate set →
-    vectorized signature-agreement estimate → threshold filter."""
+    payload — the round-1 16× signature duplication is gone) → bucketed
+    pair generation (ids only) → pair dedup → signature re-attachment →
+    vectorized signature-agreement estimate → threshold filter.
+
+    Re-attachment strategy: corpora up to ``broadcast_max_docs`` ship
+    the signature table via ray.put (≈0.5 KB/doc → ≤100 MB) and verify
+    map-side with zero extra shuffles; larger corpora use two bucketed
+    hash joins against the signature dataset (sub-linear memory, two
+    exchanges of the candidate set only)."""
+    import ray
+
     import pyarrow.compute as pc
 
-    from ..functions.join import bucketed_hash_join
-    from ..functions.shuffle import grouped_aggregate, hash_mod
+    from ..functions.shuffle import grouped_aggregate
 
     sigs = minhash_signatures(ds, num_perm, bands, k)
     exploded = sigs.map_batches(
@@ -201,20 +219,41 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
             .groupby("_wb").map_groups(_bucketed_band_pairs,
                                        batch_format="pandas"))
     # a pair can surface from several bands → dedup on (id1, id2) BEFORE
-    # the verify joins so each pair is verified once
+    # verification so each pair is verified once
     cand = grouped_aggregate(
         cand.map_batches(lambda t: t.append_column(
             "_one", pa.array(np.ones(t.num_rows, dtype="int64"))),
             batch_format="pyarrow"),
         keys=["id1", "id2"], specs=[("_one", "min")],
-    ).drop_columns(["_one_min"]).materialize()
-    s1 = sigs.map_batches(lambda t: t.rename_columns(["id1", "sig1"]),
-                          batch_format="pyarrow")
-    s2 = sigs.map_batches(lambda t: t.rename_columns(["id2", "sig2"]),
-                          batch_format="pyarrow")
-    with_s1 = bucketed_hash_join(cand, s1, "id1", "id1").materialize()
-    with_s2 = bucketed_hash_join(with_s1, s2, "id2", "id2")
-    est = with_s2.map_batches(_sig_est, batch_format="pyarrow")
+    ).drop_columns(["_one_min"])
+
+    if sigs.count() <= broadcast_max_docs:
+        sig_ref = ray.put({r["doc_id"]: r["sig"] for r in sigs.iter_rows()})
+
+        def verify_broadcast(batch: pa.Table) -> pa.Table:
+            sig_map = ray.get(sig_ref)  # plasma-local after first fetch
+            t = pa.table({
+                "id1": batch.column("id1"),
+                "id2": batch.column("id2"),
+                "sig1": pa.array([sig_map[i] for i in
+                                  batch.column("id1").to_pylist()], pa.binary()),
+                "sig2": pa.array([sig_map[i] for i in
+                                  batch.column("id2").to_pylist()], pa.binary()),
+            })
+            return _sig_est(t)
+
+        est = cand.map_batches(verify_broadcast, batch_format="pyarrow")
+    else:
+        from ..functions.join import bucketed_hash_join
+
+        cand = cand.materialize()
+        s1 = sigs.map_batches(lambda t: t.rename_columns(["id1", "sig1"]),
+                              batch_format="pyarrow")
+        s2 = sigs.map_batches(lambda t: t.rename_columns(["id2", "sig2"]),
+                              batch_format="pyarrow")
+        with_s1 = bucketed_hash_join(cand, s1, "id1", "id1").materialize()
+        with_s2 = bucketed_hash_join(with_s1, s2, "id2", "id2")
+        est = with_s2.map_batches(_sig_est, batch_format="pyarrow")
     return est.filter(expr=f"est_jaccard >= {threshold}")
 
 

@@ -63,10 +63,8 @@ def link_group(df: pd.DataFrame) -> pd.DataFrame:
 def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Link every conversation inside one hash bucket — fully vectorized:
     build a (conv_id, surname) → unique-full-name registry with pandas
-    groupbys, resolve bare surnames with a merge, then resolve pronoun
-    mentions to the nearest preceding PERSON mention of the conversation
-    (gender-free; unresolved pronoun edges are dropped).  Same semantics
-    as the broadcast path."""
+    groupbys, resolve bare surnames with a merge.  (Pronoun coreference
+    is a separate bucketed pass, ``resolve_pronoun_edges``.)"""
     pairs = (("subj", "subj_type"), ("obj", "obj_type"))
     regs = []
     for col, tcol in pairs:
@@ -91,53 +89,7 @@ def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
                             resolved.to_numpy(), df.loc[bare, col].to_numpy())
             df.loc[bare, col] = vals
 
-    # --- pronoun coreference over the surname-resolved frame ---
-    lower = {c: df[c].str.lower() for c, _ in pairs}
-    pron_mask = {c: (df[t] == "PERSON") & lower[c].isin(PRONOUNS)
-                 for c, t in pairs}
-    any_pron = pron_mask["subj"] | pron_mask["obj"]
-    if not any_pron.any():
-        return df
-    mentions = _mentions_per_conv(df, pron_mask)
-    df = df.copy()
-    keep = np.ones(len(df), dtype=bool)
-    pos_df = {c: df.columns.get_loc(c) for c, _ in pairs}
-    convs = df["conv_id"].to_numpy()
-    turns = df["turn_idx"].to_numpy()
-    for col, _ in pairs:
-        vals = df[col].to_numpy().copy()
-        for i in np.flatnonzero(pron_mask[col].to_numpy()):
-            name = _antecedent(mentions.get(convs[i]), int(turns[i]))
-            if name is None:
-                keep[i] = False
-            else:
-                vals[i] = name
-        df.iloc[:, pos_df[col]] = vals
-    return df[keep]
-
-
-def _mentions_per_conv(df: pd.DataFrame, pron_mask) -> dict:
-    """{conv_id: (sorted mention keys, names)} from non-pronoun PERSON
-    mentions of the (already surname-resolved) edge frame."""
-    frames = []
-    for flag, (col, tcol) in enumerate((("subj", "subj_type"),
-                                        ("obj", "obj_type"))):
-        sel = (df[tcol] == "PERSON") & ~pron_mask[col]
-        if sel.any():
-            frames.append(pd.DataFrame({
-                "conv_id": df.loc[sel, "conv_id"].to_numpy(),
-                "key": df.loc[sel, "turn_idx"].to_numpy().astype("int64") * 2 + flag,
-                "name": df.loc[sel, col].to_numpy(),
-            }))
-    out: dict = {}
-    if not frames:
-        return out
-    m = (pd.concat(frames, ignore_index=True)
-         .sort_values(["conv_id", "key", "name"])
-         .drop_duplicates(["conv_id", "key"], keep="last"))
-    for conv, g in m.groupby("conv_id", sort=False):
-        out[conv] = (g["key"].to_numpy(), g["name"].to_list())
-    return out
+    return df
 
 
 def _antecedent(mention_entry, turn: int):
@@ -147,6 +99,165 @@ def _antecedent(mention_entry, turn: int):
     keys, names = mention_entry
     pos = int(np.searchsorted(keys, 2 * turn - 1, side="right")) - 1
     return names[pos] if pos >= 0 else None
+
+
+# --- pronoun coreference pass ---------------------------------------------
+# Conversation-scoped nearest-preceding-PERSON resolution (gender-free) —
+# the `resolve` stage analog (src/props/parseprops:24-30; coref merge in
+# aceJet/RelaxedDepPathRelationTagger.java:69-70).  Runs AFTER link +
+# canonicalization as its own bucketed exchange: slim (conv, key, name)
+# mention rows + the (rare) pronoun edges shuffle by hash(conv_id); each
+# bucket resolves in pandas.  Nothing lands on the driver, so the pass
+# scales with the edge table, and it is skipped entirely when the corpus
+# has no pronoun edges.
+
+def _pron_col_mask(batch: pa.Table, col: str, tcol: str):
+    import pyarrow.compute as pc
+
+    vals = batch.column(col)
+    return pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                   pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
+
+
+def resolve_pronoun_edges(edges: "ray.data.Dataset",
+                          num_buckets: int = 64,
+                          conv_filter_max: int = 2_000_000) -> "ray.data.Dataset":
+    """Canonicalized edge dataset → same dataset with pronoun arguments
+    resolved to their conversation antecedent; unresolvable pronoun
+    edges are dropped.  Fast path: if no edge has a pronoun argument the
+    input is returned untouched (one cheap scan).
+
+    Shuffle-volume optimization: mention rows are emitted ONLY for
+    conversations that actually contain a pronoun edge (the distinct
+    pron-conv set is broadcast when it fits ``conv_filter_max``; above
+    that the filter is skipped — correct either way, just more rows)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import grouped_aggregate, hash_mod
+
+    def tag(batch: pa.Table) -> pa.Table:
+        m = pc.or_(_pron_col_mask(batch, "subj", "subj_type"),
+                   _pron_col_mask(batch, "obj", "obj_type"))
+        return batch.append_column("_pron", m)
+
+    tagged = edges.map_batches(tag, batch_format="pyarrow").materialize()
+    sch = tagged.schema()
+    if sch is None:  # fully empty input — nothing to resolve
+        return edges
+    edge_cols = [n for n in sch.names if n != "_pron"]
+    arrow_schema = pa.schema(
+        [(n, t) for n, t in zip(sch.names, sch.types) if n != "_pron"])
+    pron = tagged.filter(expr="_pron == True").drop_columns(["_pron"])
+    non_pron = tagged.filter(expr="_pron == False").drop_columns(["_pron"])
+    # ONE driver barrier for emptiness check + pron-conv set: pron is
+    # edge-fraction-small; limit() bounds the pull — if the cap is hit,
+    # skip the mention filter (correct either way, just more rows)
+    conv_pdf = (pron.select_columns(["conv_id"])
+                .limit(conv_filter_max + 1).to_pandas())
+    if conv_pdf.empty or "conv_id" not in conv_pdf.columns:
+        return non_pron  # no pronoun edges anywhere (schema-less empty)
+    conv_sample = conv_pdf["conv_id"]
+    conv_set = (set(conv_sample) if len(conv_sample) <= conv_filter_max
+                else None)
+    conv_ref = ray.put(conv_set)
+
+    all_cols = ["conv_id", "_key", "_name"] + \
+        [c for c in edge_cols if c != "conv_id"]
+
+    def mention_rows(batch: pa.Table) -> pa.Table:
+        """Slim (conv_id, _key, _name) PERSON mention events for
+        pronoun-bearing conversations, padded to the union schema
+        (other columns null)."""
+        convs = ray.get(conv_ref)
+        if convs is not None:
+            s = batch.column("conv_id")
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            keep = pd.Series(s.to_pandas()).isin(convs).to_numpy()
+            batch = batch.filter(pa.array(keep))
+        parts = []
+        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
+                                            ("obj", "obj_type"))):
+            mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                           pc.invert(_pron_col_mask(batch, col, tcol)))
+            sel = batch.filter(mask)
+            if sel.num_rows == 0:
+                continue
+            key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
+                                             pa.int64()), 2), flag)
+            parts.append(pa.table({"conv_id": sel.column("conv_id"),
+                                   "_key": key,
+                                   "_name": sel.column(col)}))
+        if not parts:
+            t = pa.table({"conv_id": pa.array([], pa.string()),
+                          "_key": pa.array([], pa.int64()),
+                          "_name": pa.array([], pa.string())})
+        else:
+            t = pa.concat_tables(parts)
+        for c in edge_cols:
+            if c != "conv_id":
+                typ = batch.schema.field(c).type
+                t = t.append_column(c, pa.nulls(t.num_rows, typ))
+        return t.select(all_cols)
+
+    def pron_rows(batch: pa.Table) -> pa.Table:
+        t = (batch.append_column("_key", pa.nulls(batch.num_rows, pa.int64()))
+                  .append_column("_name", pa.nulls(batch.num_rows, pa.string())))
+        return t.select(all_cols)
+
+    combined = (non_pron.map_batches(mention_rows, batch_format="pyarrow")
+                .union(pron.map_batches(pron_rows, batch_format="pyarrow")))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", hash_mod(batch.column("conv_id"), num_buckets))
+
+    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "conv_id" not in df.columns:
+            return pd.DataFrame({c: [] for c in edge_cols})
+        is_edge = df["_name"].isna() & df["_key"].isna()
+        m = df[~is_edge]
+        mentions: dict = {}
+        if len(m):
+            ms = (m.sort_values(["conv_id", "_key", "_name"])
+                  .drop_duplicates(["conv_id", "_key"], keep="last"))
+            for conv, g in ms.groupby("conv_id", sort=False):
+                mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+        e = df[is_edge].drop(columns=["_key", "_name", "_bucket"]).copy()
+        if not len(e):
+            return e
+        keep = np.ones(len(e), dtype=bool)
+        convs = e["conv_id"].to_numpy()
+        turns = e["turn_idx"].to_numpy()
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            vals = e[col].to_numpy().copy()
+            is_pron = ((e[tcol] == "PERSON")
+                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
+            for i in np.flatnonzero(is_pron):
+                name = _antecedent(mentions.get(convs[i]), int(turns[i]))
+                if name is None:
+                    keep[i] = False
+                else:
+                    vals[i] = name
+            e[col] = vals
+        return e[keep]
+
+    resolved = (combined.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(resolve_bucket, batch_format="pandas"))
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # empty buckets (and pandas null-promotion of ints) lose the edge
+        # schema; restore it exactly
+        if t.num_rows == 0 or set(t.column_names) != set(edge_cols):
+            return arrow_schema.empty_table()
+        import pyarrow.compute as pc_
+
+        cols = [pc_.cast(t.column(c), arrow_schema.field(c).type)
+                for c in edge_cols]
+        return pa.Table.from_arrays(cols, schema=arrow_schema)
+
+    return non_pron.union(resolved.map_batches(coerce, batch_format="pyarrow"))
 
 
 def link_edges_by_conversation(edges: "ray.data.Dataset",
@@ -198,20 +309,15 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
 
 
 def build_link_state(edges: "ray.data.Dataset"):
-    """ONE pass over edges → (surname registry, canonical map, mention
-    index).
+    """ONE pass over edges → (surname registry, canonical map).
 
-    Emits four partial row kinds from a single map_batches —
+    Emits three partial row kinds from a single map_batches —
     R: distinct (conv, surname, full) registry rows;
-    S: non-bare surface counts; B: bare (conv, surname) counts;
-    M: distinct (conv, turn, flag, surface) PERSON mention events
-    (pronouns excluded) for coreference —
+    S: non-bare surface counts; B: bare (conv, surname) counts —
     reduces them in one bucketed aggregate, and finishes on the driver
-    (registry from R; canon counts = S + registry-resolved B; mention
-    index from registry-resolved M).  The mention index is bounded by
-    the number of person-mention TURNS — for inputs where even that
-    outgrows driver memory use link_strategy="shuffle", which resolves
-    inside conversation buckets with no broadcast."""
+    (registry from R; canon counts = S + registry-resolved B).
+    Pronoun surfaces are excluded from all three kinds (they are
+    resolved by the separate ``resolve_pronoun_edges`` pass)."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -219,11 +325,7 @@ def build_link_state(edges: "ray.data.Dataset"):
     def partial(batch: pa.Table) -> pa.Table:
         kinds, k1s, k2s, ns = [], [], [], []
         seen_r: set[tuple[str, str]] = set()
-        seen_m: set[tuple[str, str]] = set()
-        turn_col = batch.column("turn_idx").to_pylist()
-        conv_col = batch.column("conv_id").to_pylist()
-        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
-                                            ("obj", "obj_type"))):
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
             vals = batch.column(col).combine_chunks()
             is_person = pc.equal(batch.column(tcol), "PERSON")
             is_pron = pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR)
@@ -241,7 +343,7 @@ def build_link_state(edges: "ray.data.Dataset"):
                     k1s.append(c)
                     k2s.append(v.rsplit(" ", 1)[1] + "\x01" + v)
                     ns.append(1)
-            # S rows: everything that is not a bare PERSON name
+            # S rows: everything that is not a bare PERSON name/pronoun
             for vc in pc.value_counts(pc.drop_null(
                     pc.if_else(pc.or_(bare_mask, is_pron),
                                pa.nulls(len(vals), pa.string()), vals))):
@@ -260,19 +362,6 @@ def build_link_state(edges: "ray.data.Dataset"):
                     k1s.append(c)
                     k2s.append(v)
                     ns.append(vc["counts"].as_py())
-            # M rows: mention events for coref (distinct within batch)
-            name_idx = np.flatnonzero(
-                is_name.combine_chunks().to_numpy(zero_copy_only=False))
-            vlist = vals.to_pylist()
-            for i in name_idx:
-                c = conv_col[i]
-                k2 = f"{turn_col[i]:09d}\x01{flag}\x01{vlist[i]}"
-                if (c, k2) not in seen_m:
-                    seen_m.add((c, k2))
-                    kinds.append("M")
-                    k1s.append(c)
-                    k2s.append(k2)
-                    ns.append(1)
         return pa.table({"kind": pa.array(kinds, pa.string()),
                          "k1": pa.array(k1s, pa.string()),
                          "k2": pa.array(k2s, pa.string()),
@@ -283,7 +372,7 @@ def build_link_state(edges: "ray.data.Dataset"):
         keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = agg.to_pandas()
     if pdf.empty or "kind" not in pdf.columns:
-        return {}, {}, {}
+        return {}, {}
 
     # registry from R rows: exactly one full per (conv, surname)
     r = pdf[pdf["kind"] == "R"].copy()
@@ -311,76 +400,20 @@ def build_link_state(edges: "ray.data.Dataset"):
         if cur is None or (-n, surface) < (-cur[0], cur[1]):
             best[norm] = (n, surface)
     canon = {norm: surf for norm, (_, surf) in best.items()}
-
-    # mention index from M rows: {conv: (sorted keys, names)}; bare
-    # surnames resolve through the registry; ties on (turn, flag) break
-    # to the lexicographically last name (deterministic)
-    mentions: dict[str, tuple] = {}
-    m = pdf[pdf["kind"] == "M"]
-    if len(m):
-        sp = m["k2"].str.split("\x01", n=2, expand=True)
-        mm = pd.DataFrame({
-            "conv": m["k1"].to_numpy(),
-            "key": sp[0].astype("int64").to_numpy() * 2
-                   + sp[1].astype("int64").to_numpy(),
-            "name": sp[2].to_numpy(),
-        })
-        no_space = ~pd.Series(mm["name"]).str.contains(" ").to_numpy()
-        if no_space.any():
-            resolved = [registry.get((c, v), v) for c, v in
-                        zip(mm["conv"][no_space], mm["name"][no_space])]
-            mm.loc[no_space, "name"] = resolved
-        mm = (mm.sort_values(["conv", "key", "name"])
-              .drop_duplicates(["conv", "key"], keep="last"))
-        for conv, g in mm.groupby("conv", sort=False):
-            mentions[conv] = (g["key"].to_numpy(), g["name"].to_list())
-    return registry, canon, mentions
+    return registry, canon
 
 
 class LinkCanonRewriter:
-    """Fused link + canonicalize rewrite: resolve pronoun mentions to
-    their conversation antecedent (dropping unresolvable pronoun edges),
-    resolve bare PERSON surnames via the broadcast registry, then map
-    every surface through the canonical map on dictionary-encoded
-    uniques."""
+    """Fused link + canonicalize rewrite: resolve bare PERSON surnames
+    via the broadcast registry, then map every surface through the
+    canonical map on dictionary-encoded uniques.  (Pronoun coreference
+    is the separate ``resolve_pronoun_edges`` pass.)"""
 
-    def __init__(self, registry_ref, canon_ref, mentions_ref=None):
+    def __init__(self, registry_ref, canon_ref):
         self.registry = (ray.get(registry_ref)
                          if isinstance(registry_ref, ray.ObjectRef) else registry_ref)
         self.canon = (ray.get(canon_ref)
                       if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
-        self.mentions = (ray.get(mentions_ref)
-                         if isinstance(mentions_ref, ray.ObjectRef)
-                         else (mentions_ref or {}))
-
-    def _resolve_pronouns(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = np.ones(batch.num_rows, dtype=bool)
-        convs = turns = None
-        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-            vals = batch.column(col).combine_chunks()
-            pron = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                           pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
-            idx = np.flatnonzero(pron.combine_chunks()
-                                 .to_numpy(zero_copy_only=False))
-            if idx.size == 0:
-                continue
-            if convs is None:
-                convs = batch.column("conv_id").to_pylist()
-                turns = batch.column("turn_idx").to_pylist()
-            out = vals.to_numpy(zero_copy_only=False).copy()
-            for i in idx:
-                name = _antecedent(self.mentions.get(convs[i]), int(turns[i]))
-                if name is None:
-                    keep[i] = False
-                else:
-                    out[i] = name
-            batch = batch.set_column(batch.schema.get_field_index(col),
-                                     col, pa.array(out, pa.string()))
-        if not keep.all():
-            batch = batch.filter(pa.array(keep))
-        return batch
 
     def _link_col(self, batch: pa.Table, col: str, tcol: str) -> pa.Array:
         import pyarrow.compute as pc
@@ -410,7 +443,6 @@ class LinkCanonRewriter:
         return pc.take(mapped, enc.indices)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = self._resolve_pronouns(batch)
         idx_s = batch.schema.get_field_index("subj")
         idx_o = batch.schema.get_field_index("obj")
         s = self._canon_col(self._link_col(batch, "subj", "subj_type"))

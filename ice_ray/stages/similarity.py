@@ -84,12 +84,14 @@ class CosineScorer:
 def knn_to_vector(ds, query: np.ndarray, k: int = 10, col: str = "embedding"):
     """Brute-force cosine top-k: per-batch partial top-k (exact, tie-broken
     on vec_id) then a tiny global sort over ≤ k·num_batches candidates —
-    no all-to-all shuffle of the scored corpus."""
+    no all-to-all shuffle of the scored corpus.  Task-based map (scorer
+    construction is one ray.get — actor-pool startup would dominate)."""
     qref = ray.put(np.asarray(query, dtype=np.float64))
-    scored = ds.map_batches(CosineScorer, batch_format="pyarrow",
-                            fn_constructor_kwargs={"query_ref": qref, "col": col,
-                                                   "top_k": k},
-                            concurrency=(1, 8))
+
+    def score(batch: pa.Table) -> pa.Table:
+        return CosineScorer(qref, col=col, top_k=k)(batch)
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["cosine", "vec_id"], descending=[True, False]).limit(k)
 
 
@@ -129,9 +131,11 @@ class MultiQueryTopK:
 def knn_multi_query(ds, queries: np.ndarray, k: int = 10, col: str = "embedding"):
     """→ pandas (query_id, vec_id, cosine) exact top-k per query."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    cand = ds.map_batches(MultiQueryTopK, batch_format="pyarrow",
-                          fn_constructor_kwargs={"queries_ref": qref, "k": k, "col": col},
-                          concurrency=(1, 8)).to_pandas()
+
+    def score(batch: pa.Table) -> pa.Table:
+        return MultiQueryTopK(qref, k=k, col=col)(batch)
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     out = []
     for qi, g in cand.groupby("query_id"):
         top = heapq.nsmallest(k, g.itertuples(index=False),
@@ -264,10 +268,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
 
     dim = len(ds.take(1)[0][col])
     bucketed = ds.map_batches(
-        HyperplaneBucketer, batch_format="pyarrow",
-        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes,
-                               "seed": seed, "col": col},
-        concurrency=(1, 8))
+        HyperplaneBucketer(dim=dim, n_planes=n_planes, seed=seed, col=col),
+        batch_format="pyarrow")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         m = np.asarray(df[col].tolist(), dtype=np.float64)

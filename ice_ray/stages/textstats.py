@@ -80,42 +80,93 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("n_chars_norm", pa.array(n_chars, pa.int64())))
 
 
-def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id"):
+def _tf_rows(ds, text_col: str, id_col: str):
+    """Per-(doc, term) raw term-frequency rows."""
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        ids_out, terms_out, tf_out = [], [], []
+        for doc_id, text in zip(batch.column(id_col).to_pylist(),
+                                batch.column(text_col).to_pylist()):
+            local: Counter = Counter(
+                t for t in _WORD_RE.findall((text or "").lower())
+                if len(t) > 1 and t not in TERM_STOPWORDS)
+            for t, tf in local.items():
+                ids_out.append(doc_id)
+                terms_out.append(t)
+                tf_out.append(tf)
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+        })
+
+    return ds.map_batches(tf_batch, batch_format="pyarrow")
+
+
+def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
+                 strategy: str = "broadcast"):
     """Per-(doc, term) TF-IDF: ``tf · ln(N / df)`` with raw term counts
-    as tf.  Two passes: the (small) df table broadcast, then a per-batch
-    transform — no per-doc shuffle."""
+    as tf.
+
+    ``strategy="broadcast"`` (default): the df table is broadcast and
+    scores are a per-batch transform — no per-doc shuffle.  Correct
+    while the VOCABULARY fits worker memory.
+
+    ``strategy="join"`` (open-web vocabulary scale path): tf rows join
+    the df table with a bucketed hash join on the term — sub-linear
+    memory, one extra exchange of the tf rows."""
     import math
 
     import ray
 
     n_docs = ds.count()
+    if strategy == "join":
+        from ..functions.join import bucketed_hash_join
+
+        df_ds = term_counts(ds, text_col, id_col) \
+            .drop_columns(["freq"]).materialize()
+        tf = _tf_rows(ds, text_col, id_col).materialize()
+        joined = bucketed_hash_join(tf, df_ds, "term", "term")
+
+        def score(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = pc.round(pc.multiply(
+                pc.cast(batch.column("tf"), pa.float64()),
+                pc.ln(pc.divide(float(n_docs),
+                                pc.cast(batch.column("doc_freq"),
+                                        pa.float64())))), 6)
+            return pa.table({
+                id_col: batch.column(id_col),
+                "term": batch.column("term"),
+                "tf": batch.column("tf"),
+                "tfidf": s,
+            })
+
+        return joined.map_batches(score, batch_format="pyarrow")
+
     df_pdf = term_counts(ds, text_col, id_col).to_pandas()
     df_ref = ray.put(dict(zip(df_pdf["term"], df_pdf["doc_freq"])))
 
-    class Tfidf:
-        def __init__(self):
-            self.df = ray.get(df_ref)
+    def tfidf_fn(batch: pa.Table) -> pa.Table:
+        df_map = ray.get(df_ref)
+        ids_out, terms_out, tf_out, score_out = [], [], [], []
+        for doc_id, text in zip(batch.column(id_col).to_pylist(),
+                                batch.column(text_col).to_pylist()):
+            local: Counter = Counter(
+                t for t in _WORD_RE.findall((text or "").lower())
+                if len(t) > 1 and t not in TERM_STOPWORDS)
+            for t, tf in local.items():
+                ids_out.append(doc_id)
+                terms_out.append(t)
+                tf_out.append(tf)
+                score_out.append(round(tf * math.log(n_docs / df_map[t]), 6))
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "term": pa.array(terms_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "tfidf": pa.array(score_out, pa.float64()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids_out, terms_out, tf_out, score_out = [], [], [], []
-            for doc_id, text in zip(batch.column(id_col).to_pylist(),
-                                    batch.column(text_col).to_pylist()):
-                local: Counter = Counter(
-                    t for t in _WORD_RE.findall((text or "").lower())
-                    if len(t) > 1 and t not in TERM_STOPWORDS)
-                for t, tf in local.items():
-                    ids_out.append(doc_id)
-                    terms_out.append(t)
-                    tf_out.append(tf)
-                    score_out.append(round(tf * math.log(n_docs / self.df[t]), 6))
-            return pa.table({
-                id_col: pa.array(ids_out, pa.int64()),
-                "term": pa.array(terms_out, pa.string()),
-                "tf": pa.array(tf_out, pa.int64()),
-                "tfidf": pa.array(score_out, pa.float64()),
-            })
-
-    return ds.map_batches(Tfidf, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(tfidf_fn, batch_format="pyarrow")
 
 
 # GPT-2-style pre-tokenizer pattern (public), ASCII approximation of the
