@@ -211,6 +211,35 @@ def _q_orders_by_segment(sf_dir: str):
     return key_counts(joined, "c_mktsegment", alias="n_orders")
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding 60-min window, 15-min slide, per event_type (explode +
+    partial counts per batch, one bucketed aggregate)."""
+    from ice_ray.stages.windows import sliding_counts
+    return _round_col(sliding_counts(_events(sf_dir), 60, 15), "value_sum", 2)
+
+
+def _q_neardup_clusters(sf_dir: str):
+    """Connected components over MinHash near-dup pairs (cluster label =
+    min doc_id of the component)."""
+    from ice_ray.stages.dedup import minhash_neardup_pairs, neardup_clusters
+    return neardup_clusters(minhash_neardup_pairs(_docs(sf_dir), threshold=0.5))
+
+
+def _q_knn_multi(sf_dir: str):
+    """Multi-query exact top-k (per-batch partial top-k + driver merge);
+    queries = the vectors with vec_id 0, 1, 2."""
+    import numpy as np
+
+    import ray.data
+    from ice_ray.stages.similarity import knn_multi_query
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    qdf = (emb.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+           .sort_values("vec_id"))
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    return knn_multi_query(emb, queries, k=5)
+
+
 def _q_events_last_order(sf_dir: str):
     """Backward as-of join (custom operator: Ray Data has none): each
     event picks the same customer's latest order-day summary at or
@@ -519,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "term_pmi": _q_term_pmi,
         "events_last_order": _q_events_last_order,
+        "events_sliding": _q_events_sliding,
+        "neardup_clusters": _q_neardup_clusters,
+        "knn_multi": _q_knn_multi,
         "kg_edges": _q_kg_edges,
         "path_type_counts": _q_path_type_counts,
         "tree_counts": _q_tree_counts,
@@ -704,6 +736,19 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(pc.n / rs.r / (cs.c / tot.t)), 6) AS pmi
             FROM pc JOIN rs USING (term) JOIN cs USING (ctx), tot
         """,
+        "events_sliding": """
+            WITH e AS (
+              SELECT event_type, value,
+                     (epoch_us(ts) // 900000000) * 900000000 AS base
+              FROM events),
+            x AS (
+              SELECT event_type, value,
+                     base - i * 900000000 AS wus
+              FROM e, LATERAL unnest(generate_series(0, 3)) AS t(i))
+            SELECT make_timestamp(wus) AS window_start, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 2) AS value_sum
+            FROM x GROUP BY 1, 2
+        """,
         "events_last_order": """
             WITH d AS (
               SELECT o_custkey AS user_id, o_orderdate,
@@ -727,6 +772,8 @@ def oracle_sql() -> dict[str, str]:
         "soft_decode": _gold_synth("soft_decode"),
         # --- gold-parquet oracles keyed by input-table content ---
         "minhash_neardup": _gold_keyed("minhash_neardup", "docs"),
+        "neardup_clusters": _gold_keyed("neardup_clusters", "docs"),
+        "knn_multi": _gold_keyed("knn_multi", "emb"),
         "simhash": _gold_keyed("simhash", "docs"),
         "quality": _gold_keyed("quality", "docs"),
         "lang_id": _gold_keyed("lang_id", "docs"),

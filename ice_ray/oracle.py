@@ -396,6 +396,55 @@ def gold_minhash_neardup(sf_dir: str, threshold: float = 0.5,
         {"id1": "int64", "id2": "int64", "est_jaccard": "float64"})
 
 
+def gold_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the gold minhash pairs via an
+    INDEPENDENT union-find (the pipeline uses min-label propagation);
+    cluster label = min doc_id of the component."""
+    pairs = gold_minhash_neardup(sf_dir)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["id1"], pairs["id2"]):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((n, find(n)) for n in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster"]).astype(
+        {"doc_id": "int64", "cluster": "int64"})
+
+
+def gold_knn_multi(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Independent numpy reference for the multi-query exact top-k:
+    full cosine matrix, rank by (cosine rounded to 6 desc, vec_id)."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").reset_index(drop=True)
+    m = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+    vids = t["vec_id"].to_numpy()
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    q = mn[np.isin(vids, [0, 1, 2])]
+    cos = np.round(q @ mn.T, 6)
+    rows = []
+    for qi in range(cos.shape[0]):
+        order = np.lexsort((vids, -cos[qi]))[:k]
+        for j in order:
+            rows.append({"query_id": qi, "vec_id": int(vids[j]),
+                         "cosine": float(cos[qi, j])})
+    return pd.DataFrame(rows).astype({"query_id": "int32",
+                                      "vec_id": "int64",
+                                      "cosine": "float64"})
+
+
 def gold_docs_rowwise(sf_dir: str) -> dict[str, pd.DataFrame]:
     """Row-wise doc stats: run the SAME batch kernels on the whole table
     as one serial batch."""
@@ -508,9 +557,11 @@ def write_gold(sf_dirs: list[str], out_dir: str = GOLD_DIR) -> list[str]:
     for sf_dir in sf_dirs:
         dkey = f"docs_{docs_fingerprint(sf_dir)}"
         _write(dkey, "minhash_neardup", gold_minhash_neardup(sf_dir))
+        _write(dkey, "neardup_clusters", gold_neardup_clusters(sf_dir))
         for name, df in gold_docs_rowwise(sf_dir).items():
             _write(dkey, name, df)
         ekey = f"emb_{emb_fingerprint(sf_dir)}"
+        _write(ekey, "knn_multi", gold_knn_multi(sf_dir))
         for name, df in gold_embeddings(sf_dir).items():
             _write(ekey, name, df)
         n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
