@@ -145,29 +145,35 @@ def canonicalize_edges(edges: "ray.data.Dataset",
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     edges = edges.repartition(ncpu * 2).materialize()
+    # conversation-scoped pronoun coreference FIRST, riding the already-
+    # materialized raw edges (a bare-surname antecedent is resolved by
+    # the rewrite below — same fixpoint); its own bucketed exchange over
+    # slim mention rows, no driver state, skipped when pronoun-free
+    combined = resolve_pronoun_edges(edges, materialize_input=False)
     if strategy == "shuffle":
-        linked = link_edges_by_conversation(edges).materialize()
+        linked = link_edges_by_conversation(combined).materialize()
         canon = build_canonical_map(linked)
-        rewritten = linked.map_batches(
+        return linked.map_batches(
             CanonicalRewriter,
             fn_constructor_kwargs={"canon_ref": ray.put(canon)},
             batch_format="pyarrow",
             concurrency=(1, _pool_max()),
         )
-    else:
-        from ..stages.linker import LinkCanonRewriter, build_link_state
+    from ..stages.linker import LinkCanonRewriter, build_link_state
 
-        registry, canon = build_link_state(edges)
-        rewritten = edges.map_batches(
-            LinkCanonRewriter,
-            fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                                   "canon_ref": ray.put(canon)},
-            batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
-        )
-    # conversation-scoped pronoun coreference: its own bucketed exchange
-    # over slim mention rows (no driver state, skipped when pronoun-free)
-    return resolve_pronoun_edges(rewritten)
+    # link state from the materialized raw edges: pronoun surfaces are
+    # excluded from registry/canon there, and resolved pronoun mentions
+    # only repeat names already present in their conversation's edges —
+    # identical registry/canon, one pass, no double execution of the
+    # lazy pronoun union
+    registry, canon = build_link_state(edges)
+    return combined.map_batches(
+        LinkCanonRewriter,
+        fn_constructor_kwargs={"registry_ref": ray.put(registry),
+                               "canon_ref": ray.put(canon)},
+        batch_format="pyarrow",
+        concurrency=(1, _pool_max()),
+    )
 
 
 def build_kg(transcripts: "ray.data.Dataset",

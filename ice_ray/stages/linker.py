@@ -121,11 +121,19 @@ def _pron_col_mask(batch: pa.Table, col: str, tcol: str):
 
 def resolve_pronoun_edges(edges: "ray.data.Dataset",
                           num_buckets: int = 64,
-                          conv_filter_max: int = 2_000_000) -> "ray.data.Dataset":
-    """Canonicalized edge dataset → same dataset with pronoun arguments
-    resolved to their conversation antecedent; unresolvable pronoun
-    edges are dropped.  Fast path: if no edge has a pronoun argument the
-    input is returned untouched (one cheap scan).
+                          conv_filter_max: int = 2_000_000,
+                          materialize_input: bool = True) -> "ray.data.Dataset":
+    """Edge dataset → same dataset with pronoun arguments resolved to
+    their conversation antecedent; unresolvable pronoun edges are
+    dropped.  Fast path: if no edge has a pronoun argument the input is
+    returned untouched (one cheap scan).
+
+    Runs BEFORE surname-linking in the flagship pipeline: an antecedent
+    recorded as a bare surname is resolved by the subsequent rewrite, so
+    the fixpoint is the same, and the pass can ride an input that is
+    already materialized (``materialize_input=False`` skips the internal
+    materialization; the tag scan then re-executes per consumer —
+    memory-speed over a materialized input).
 
     Shuffle-volume optimization: mention rows are emitted ONLY for
     conversations that actually contain a pronoun edge (the distinct
@@ -140,7 +148,9 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
                    _pron_col_mask(batch, "obj", "obj_type"))
         return batch.append_column("_pron", m)
 
-    tagged = edges.map_batches(tag, batch_format="pyarrow").materialize()
+    tagged = edges.map_batches(tag, batch_format="pyarrow")
+    if materialize_input:
+        tagged = tagged.materialize()
     sch = tagged.schema()
     if sch is None:  # fully empty input — nothing to resolve
         return edges
