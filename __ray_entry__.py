@@ -450,6 +450,40 @@ def _q_pmi_index(sf_dir: str):
     return idx.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal decode → feature pipeline on deterministic inline
+    media (PPM/BMP decoded to real pixels; compressed formats fall back
+    to the documented digest stub).  Comparable form fingerprints the
+    float32 feature bytes."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.oracle import media_fixture_rows
+    from ice_ray.stages.multimodal import ImageFeatureExtractor
+
+    ds = ray.data.from_items(media_fixture_rows())
+    feats = ds.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                           batch_size=2, concurrency=(1, 2))
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        fps, norms = [], []
+        for v in batch.column("embedding").to_pylist():
+            f = np.asarray(v, dtype=np.float32)
+            fps.append(hashlib.md5(f.tobytes()).hexdigest())
+            norms.append(round(float(np.linalg.norm(f)), 6))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "decoded": batch.column("decoded"),
+            "feat_fp": pa.array(fps, pa.string()),
+            "feat_norm": pa.array(norms, pa.float64()),
+        })
+
+    return feats.map_batches(to_fp, batch_format="pyarrow")
+
+
 def _q_soft_decode(sf_dir: str):
     """Embedding-scaled soft decode (J5+F3): the out-of-rule verb
     'resides' is recovered because it is embedding-near 'live'; the
@@ -568,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "knn_lsh": _q_knn_lsh,
         "soft_decode": _q_soft_decode,
+        "media_features": _q_media_features,
     }
 
 
@@ -770,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_index": _gold_synth("pmi_index"),
         "bootstrap_candidates": _gold_synth("bootstrap_candidates"),
         "soft_decode": _gold_synth("soft_decode"),
+        "media_features": _gold_synth("media_features"),
         # --- gold-parquet oracles keyed by input-table content ---
         "minhash_neardup": _gold_keyed("minhash_neardup", "docs"),
         "neardup_clusters": _gold_keyed("neardup_clusters", "docs"),

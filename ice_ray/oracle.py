@@ -344,6 +344,63 @@ def gold_bootstrap_candidates(n_turns: int = 2000,
     return per_path.reset_index(drop=True)
 
 
+def media_fixture_rows() -> list[dict]:
+    """Deterministic inline media table for the multimodal query: two
+    decodable images (PPM + BMP), one near-dup, one compressed stub."""
+    from .stages.multimodal import encode_bmp, encode_ppm
+
+    def gradient(w, h, bump=0):
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :, 0] = (x * 8) % 256
+        img[:, :, 1] = (y * 10) % 256
+        img[:, :, 2] = ((x + y) * 4) % 256
+        if bump:
+            img[:h // 2, :w // 2] = np.minimum(
+                img[:h // 2, :w // 2].astype(int) + bump, 255)
+        return img
+
+    return [
+        {"media_id": 1, "kind": "image", "payload": encode_ppm(gradient(40, 30)),
+         "mime": "image/x-portable-pixmap", "width": 40, "height": 30,
+         "duration_ms": -1},
+        {"media_id": 2, "kind": "image",
+         "payload": encode_bmp(gradient(40, 30, bump=40)),
+         "mime": "image/bmp", "width": 40, "height": 30, "duration_ms": -1},
+        {"media_id": 3, "kind": "image", "payload": b"\x89PNG not-decodable",
+         "mime": "image/png", "width": 8, "height": 8, "duration_ms": -1},
+    ]
+
+
+def gold_media_features() -> pd.DataFrame:
+    """Serial reference: same codec + feature kernels, no Ray; the
+    comparable form fingerprints the float32 feature bytes."""
+    from .stages.multimodal import (
+        _fake_features,
+        decode_image,
+        image_features,
+    )
+
+    rows = []
+    for r in media_fixture_rows():
+        img = decode_image(r["payload"])
+        if img is not None:
+            f = image_features(img)
+            decoded = True
+        else:
+            f = _fake_features(r["payload"])
+            decoded = False
+        rows.append({
+            "media_id": r["media_id"],
+            "decoded": decoded,
+            "feat_fp": hashlib.md5(f.tobytes()).hexdigest(),
+            "feat_norm": round(float(np.linalg.norm(f)), 6),
+        })
+    return pd.DataFrame(rows).astype({"media_id": "int64",
+                                      "decoded": "bool"})
+
+
 def gold_soft_decode() -> pd.DataFrame:
     """Template-derived: the embedding-near verb decodes to livesIn, the
     embedding-far verb does not."""
@@ -518,6 +575,7 @@ SYNTH_GOLD = {
     "pmi_index": gold_pmi_index,
     "bootstrap_candidates": gold_bootstrap_candidates,
     "soft_decode": gold_soft_decode,
+    "media_features": gold_media_features,
 }
 
 

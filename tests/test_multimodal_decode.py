@@ -1,0 +1,91 @@
+"""Real (pure-numpy) image decode path: PPM/BMP codecs round-trip,
+resize geometry, pixel-derived features, and near-duplicate detection
+over decoded media — end-to-end on actual pixels, no external libs."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ice_ray.stages.multimodal import (
+    ImageFeatureExtractor,
+    ImageResizer,
+    decode_image,
+    encode_bmp,
+    encode_ppm,
+    image_features,
+    resize_nearest,
+)
+
+
+def _gradient(w=32, h=24, phase=0):
+    x = np.arange(w)[None, :] + phase
+    y = np.arange(h)[:, None]
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = (x * 8) % 256
+    img[:, :, 1] = (y * 10) % 256
+    img[:, :, 2] = ((x + y) * 4) % 256
+    return img
+
+
+def test_codec_roundtrip_ppm_bmp():
+    img = _gradient()
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert decode_image(b"\x89PNG compressed") is None  # needs PIL
+
+
+def test_resize_and_features_from_pixels():
+    img = _gradient(64, 48)
+    small = resize_nearest(img, 16, 12)
+    assert small.shape == (12, 16, 3)
+    f1 = image_features(img)
+    f2 = image_features(decode_image(encode_bmp(img)))  # same pixels via BMP
+    assert np.array_equal(f1, f2)
+    # features respond to content: brightening one quadrant moves the
+    # embedding a little (cosine-near, not identical)
+    img3 = img.copy()
+    img3[:12, :16] = np.minimum(img3[:12, :16].astype(int) + 60, 255)
+    f3 = image_features(img3)
+    cos = float(f1 @ f3 / (np.linalg.norm(f1) * np.linalg.norm(f3)))
+    assert 0.5 < cos < 0.999
+    assert not np.array_equal(f1, f3)
+
+
+def test_media_pipeline_decodes_real_formats(ray_session):
+    img_a = _gradient(40, 30)
+    img_b = _gradient(40, 30, phase=1)   # near-dup of a
+    img_c = 255 - _gradient(40, 30)      # very different
+    rows = [
+        {"media_id": 1, "kind": "image", "payload": encode_ppm(img_a),
+         "mime": "image/x-portable-pixmap", "width": 40, "height": 30,
+         "duration_ms": -1},
+        {"media_id": 2, "kind": "image", "payload": encode_bmp(img_b),
+         "mime": "image/bmp", "width": 40, "height": 30, "duration_ms": -1},
+        {"media_id": 3, "kind": "image", "payload": encode_ppm(img_c),
+         "mime": "image/x-portable-pixmap", "width": 40, "height": 30,
+         "duration_ms": -1},
+        {"media_id": 4, "kind": "image", "payload": b"\x89PNG fake",
+         "mime": "image/png", "width": 8, "height": 8, "duration_ms": -1},
+    ]
+    ds = ray.data.from_items(rows)
+    feats = (ds.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                            batch_size=2, concurrency=(1, 2))
+             .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert feats["decoded"].tolist() == [True, True, True, False]
+    e = {m: np.asarray(v, dtype=np.float64)
+         for m, v in zip(feats["media_id"], feats["embedding"])}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(e[1], e[2]) > 0.8       # near-dup images are cosine-near
+    assert cos(e[1], e[3]) < -0.5      # inverted image is anti-correlated
+
+    # resize stage re-encodes decodable payloads at the target geometry
+    resized = (ds.map_batches(ImageResizer, batch_format="pyarrow",
+                              fn_constructor_kwargs={"width": 16, "height": 12},
+                              concurrency=(1, 2))
+               .to_pandas().sort_values("media_id").reset_index(drop=True))
+    out = decode_image(resized["payload"][0])
+    assert out.shape == (12, 16, 3)
+    assert np.array_equal(out, resize_nearest(img_a, 16, 12))
