@@ -450,6 +450,18 @@ def _q_pmi_index(sf_dir: str):
     return idx.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_orders_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 orders per order status, keyed
+    by md5(orderkey) so the SQL oracle reproduces the selection exactly
+    (distributed partial top-n per group; no full sort)."""
+    import ray.data
+    from ice_ray.functions.sampling import stratified_sample_n
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderstatus"])
+    return stratified_sample_n(orders, 5, "o_orderstatus", "o_orderkey")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal decode → feature pipeline on deterministic inline
     media (PPM/BMP decoded to real pixels; compressed formats fall back
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "soft_decode": _q_soft_decode,
         "media_features": _q_media_features,
+        "orders_sample": _q_orders_sample,
     }
 
 
@@ -770,6 +783,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT pc.term, pc.ctx, pc.n,
                    round(ln(pc.n / rs.r / (cs.c / tot.t)), 6) AS pmi
             FROM pc JOIN rs USING (term) JOIN cs USING (ctx), tot
+        """,
+        "orders_sample": """
+            SELECT o_orderkey, o_orderstatus FROM (
+              SELECT o_orderkey, o_orderstatus,
+                     row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rn
+              FROM orders) WHERE rn <= 5
         """,
         "events_sliding": """
             WITH e AS (

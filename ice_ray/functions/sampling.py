@@ -37,3 +37,34 @@ def sample_n(ds, n: int, id_col: str, seed: int = 42):
     cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return (cand.nsmallest(n, "_skey").drop(columns=["_skey"])
             .reset_index(drop=True))
+
+
+def stratified_sample_n(ds, n: int, group_col: str, id_col: str):
+    """Deterministic n-per-group sample: every row is keyed by
+    ``md5(str(id))`` (SQL-reproducible — the DuckDB oracle is a plain
+    ``row_number() OVER (PARTITION BY group ORDER BY md5(id), id)``);
+    the group sample is the n smallest keys.  Per-batch partial top-n
+    per group bounds the shuffle to ≤ n·groups·batches rows; one small
+    groupby finishes.  Returns a Dataset with the input columns."""
+    import hashlib as _h
+
+    import pandas as pd
+
+    in_cols = list(ds.schema().names)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_skey"] = [_h.md5(str(v).encode()).hexdigest()
+                       for v in df[id_col]]
+        return (df.sort_values(["_skey", id_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(n))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "_skey" not in df.columns:
+            return pd.DataFrame({c: [] for c in in_cols})
+        return (df.sort_values(["_skey", id_col], kind="mergesort")
+                .groupby(group_col, sort=False).head(n)
+                .drop(columns=["_skey"]))[in_cols]
+
+    cand = ds.map_batches(partial, batch_format="pandas")
+    return cand.groupby(group_col).map_groups(final, batch_format="pandas")

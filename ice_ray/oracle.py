@@ -46,6 +46,7 @@ from .nlp.lexicon import (
     COUNTRIES,
     DRUGS,
     ORGS,
+    PRONOUNS,
     build_entity_dict,
     lower_entity_dict,
     max_entity_phrase_len,
@@ -284,6 +285,8 @@ def gold_ice_terms(n_turns: int = 1500) -> pd.DataFrame:
                 continue
             for t in toks:
                 if t["start"] == m["start"]:
+                    if t["word"].lower() in PRONOUNS:
+                        break  # pronoun mentions are not name terms
                     term = t["word"].replace("_", " ") + "/nnp"
                     if len(term) > 5 and term[0].isalpha():
                         local[term] += 1

@@ -18,6 +18,7 @@ from collections import Counter
 import pyarrow as pa
 
 from ..config import TERM_STOPWORDS
+from ..nlp.lexicon import PRONOUNS
 
 _EXCLUDED = {"Contact/nn", "today/nn", "yesterday/nn"}  # TermRanker.java:47-52
 
@@ -58,6 +59,8 @@ class TermExtractor:
                     continue
                 for t in toks:
                     if t["start"] == m["start"]:
+                        if t["word"].lower() in PRONOUNS:
+                            break  # pronoun mentions are not name terms
                         term = t["word"].replace("_", " ") + "/nnp"
                         if len(term) > 5 and term[0].isalpha():
                             local[term] += 1
