@@ -68,3 +68,36 @@ def test_refresh_only_dirty_turns(ray_session, tmp_path):
     unchanged_after = {e for e in after
                        if "morphine" not in e[2] and "opium" not in e[2]}
     assert unchanged_before == unchanged_after
+
+
+def test_refresh_high_frequency_term_falls_back_to_group_rebuild(
+        ray_session, tmp_path):
+    """A changed term that marks most turns dirty must NOT broadcast an
+    unbounded dirty-key set: above cfg.dirty_broadcast_max the group is
+    re-extracted wholesale (bounded memory) and the result still equals
+    the selective path."""
+    from ice_ray.config import PipelineConfig
+
+    corpus_dir = materialize_corpus(600, seed=31, base_dir=str(tmp_path / "c"),
+                                    shard_rows=300)
+    files = sorted(
+        os.path.join(corpus_dir, "transcripts", f)
+        for f in os.listdir(os.path.join(corpus_dir, "transcripts")))
+
+    extra = {"OPIOID": ["morphine", "opium"]}
+    rules = dict(DEFAULT_RELATION_RULES)
+    rules["PERSON -- nsubj-1:seize:dobj:of:pobj -- OPIOID"] = "seizedOpioid"
+    # 'in' appears in most turns → dirty set ≈ the whole corpus
+    terms = ["in", "morphine", "opium"]
+
+    out_a = str(tmp_path / "kg_a")
+    run_kg_job(files, out_a, group_size=1)
+    stats_a = refresh_kg_job(files, out_a, changed_terms=terms, rules=rules,
+                             extra_entity_sets=extra, group_size=1,
+                             cfg=PipelineConfig(dirty_broadcast_max=10))
+    out_b = str(tmp_path / "kg_b")
+    run_kg_job(files, out_b, group_size=1)
+    stats_b = refresh_kg_job(files, out_b, changed_terms=terms, rules=rules,
+                             extra_entity_sets=extra, group_size=1)
+    assert stats_a["dirty_turns"] == stats_b["dirty_turns"] > 10
+    assert _edge_set(out_a) == _edge_set(out_b)
