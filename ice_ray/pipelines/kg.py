@@ -202,16 +202,28 @@ def write_edges(edges: "ray.data.Dataset", out_dir: str,
     triple counts (lineage metrics).  Per-partition counts are aggregated
     from the SAME materialized dataset that is written — no re-read of
     the written parquet just to count."""
+    import pyarrow.compute as pc
+
     with_pkey = edges.map_batches(_add_pkey, batch_format="pyarrow",
                                   fn_kwargs={"num_partitions": num_partitions}
                                   ).materialize()
-    counts = with_pkey.groupby("pkey").count().to_pandas()
+
+    def pkey_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("pkey").combine_chunks())
+        return pa.table({"pkey": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    # per-batch value_counts → ≤ num_partitions rows per batch; merged on
+    # the driver (partition-count-bounded, no row-based groupby)
+    parts = with_pkey.map_batches(pkey_partial,
+                                  batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("pkey")["n"].sum()
     with_pkey.write_parquet(os.path.join(out_dir, "edges"),
                             partition_cols=["pkey"], mode="overwrite")
     man = Manifest(os.path.join(out_dir, "edges_manifest.json"))
-    for pk, n in zip(counts["pkey"], counts["count()"]):
+    for pk, n in counts.items():
         man.mark_done(f"pkey={pk}", fingerprint, int(n))
-    return {"partitions": len(counts), "triples": int(counts["count()"].sum())}
+    return {"partitions": len(counts), "triples": int(counts.sum())}
 
 
 def _read_current_groups(out_dir: str, man: Manifest,

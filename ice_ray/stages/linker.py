@@ -119,9 +119,83 @@ def _pron_col_mask(batch: pa.Table, col: str, tcol: str):
                    pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
 
 
+def _resolve_broadcast(tagged, pron, non_pron, conv_ref, edge_cols,
+                       arrow_schema, mention_broadcast_max):
+    """Broadcast fast path: mention rows of pronoun-bearing
+    conversations are pulled to the driver (capped), indexed per conv,
+    broadcast, and the (small) pronoun edge set resolves map-side —
+    NO mention shuffle.  Returns None when the cap is exceeded (caller
+    falls back to the bucketed exchange)."""
+    import pyarrow.compute as pc
+
+    def mention_lite(batch: pa.Table) -> pa.Table:
+        convs = ray.get(conv_ref)
+        s = batch.column("conv_id")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        keep = pd.Series(s.to_pandas()).isin(convs).to_numpy()
+        batch = batch.filter(pa.array(keep))
+        parts = []
+        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
+                                            ("obj", "obj_type"))):
+            mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                           pc.invert(_pron_col_mask(batch, col, tcol)))
+            sel = batch.filter(mask)
+            if sel.num_rows == 0:
+                continue
+            key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
+                                             pa.int64()), 2), flag)
+            parts.append(pa.table({"conv_id": sel.column("conv_id"),
+                                   "_key": key,
+                                   "_name": sel.column(col)}))
+        if not parts:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "_key": pa.array([], pa.int64()),
+                             "_name": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
+    m = (non_pron.map_batches(mention_lite, batch_format="pyarrow")
+         .limit(mention_broadcast_max + 1).to_pandas())
+    if len(m) > mention_broadcast_max:
+        return None
+    mentions: dict = {}
+    if len(m):
+        ms = (m.sort_values(["conv_id", "_key", "_name"])
+              .drop_duplicates(["conv_id", "_key"], keep="last"))
+        for conv, g in ms.groupby("conv_id", sort=False):
+            mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+    ment_ref = ray.put(mentions)
+
+    def resolve_map(batch: pa.Table) -> pa.Table:
+        idx_map = ray.get(ment_ref)
+        df = batch.to_pandas()
+        keep = np.ones(len(df), dtype=bool)
+        convs = df["conv_id"].to_numpy()
+        turns = df["turn_idx"].to_numpy()
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            vals = df[col].to_numpy().copy()
+            is_pron = ((df[tcol] == "PERSON")
+                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
+            for i in np.flatnonzero(is_pron):
+                name = _antecedent(idx_map.get(convs[i]), int(turns[i]))
+                if name is None:
+                    keep[i] = False
+                else:
+                    vals[i] = name
+            df[col] = vals
+        out = pa.Table.from_pandas(df[keep][edge_cols],
+                                   preserve_index=False)
+        cols = [pc.cast(out.column(c), arrow_schema.field(c).type)
+                for c in edge_cols]
+        return pa.Table.from_arrays(cols, schema=arrow_schema)
+
+    return pron.map_batches(resolve_map, batch_format="pyarrow")
+
+
 def resolve_pronoun_edges(edges: "ray.data.Dataset",
                           num_buckets: int = 64,
                           conv_filter_max: int = 2_000_000,
+                          mention_broadcast_max: int = 2_000_000,
                           materialize_input: bool = True) -> "ray.data.Dataset":
     """Edge dataset → same dataset with pronoun arguments resolved to
     their conversation antecedent; unresolvable pronoun edges are
@@ -170,6 +244,13 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
     conv_set = (set(conv_sample) if len(conv_sample) <= conv_filter_max
                 else None)
     conv_ref = ray.put(conv_set)
+
+    if conv_set is not None and mention_broadcast_max > 0:
+        resolved = _resolve_broadcast(tagged, pron, non_pron, conv_ref,
+                                      edge_cols, arrow_schema,
+                                      mention_broadcast_max)
+        if resolved is not None:
+            return non_pron.union(resolved)
 
     all_cols = ["conv_id", "_key", "_name"] + \
         [c for c in edge_cols if c != "conv_id"]

@@ -90,3 +90,25 @@ def test_pronoun_scoped_to_conversation(ray_session):
     triples = set(zip(edges.subj, edges.pred, edges.obj))
     assert ("Karl Brown", "visited", "Paris") in triples
     assert ("Fred Smith", "visited", "Paris") not in triples
+
+
+def test_pronoun_broadcast_and_shuffle_paths_equal(ray_session):
+    """The mention-broadcast fast path and the bucketed-exchange scale
+    path of resolve_pronoun_edges produce identical edges."""
+    import ray.data
+    from ice_ray.pipelines.kg import decode_edges, extract_paths
+    from ice_ray.stages.linker import resolve_pronoun_edges
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, _ = generate_transcripts(1500, seed=11)
+    edges = decode_edges(
+        extract_paths(ray.data.from_arrow(tr), emit_repr=False)).materialize()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return set(map(tuple, df[["subj", "pred", "obj", "conv_id",
+                                  "turn_idx"]].itertuples(index=False)))
+
+    fast = canon(resolve_pronoun_edges(edges))
+    slow = canon(resolve_pronoun_edges(edges, mention_broadcast_max=0))
+    assert fast == slow and len(fast) > 0
