@@ -153,7 +153,6 @@ def _q_customer_nation(sf_dir: str):
 
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
     nmap_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
@@ -178,7 +177,6 @@ def _q_orders_by_status(sf_dir: str):
     import pyarrow as pa
 
     import ray.data
-    from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["o_orderstatus"]).aggregate(
@@ -280,7 +278,6 @@ def _q_term_pmi(sf_dir: str):
     import pyarrow as pa
 
     import ray
-    from ray.data.aggregate import Sum
 
     import re
     word = re.compile(r"[a-z]+")

@@ -22,7 +22,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min, Sum
 
 
 def _src_key(batch: pa.Table) -> pa.ChunkedArray:
