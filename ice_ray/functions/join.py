@@ -79,20 +79,37 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 
 
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
-              num_buckets: int = 32, suffix: str = "_r"):
+              num_buckets: int = 32, suffix: str = "_r",
+              strategy: str = "auto",
+              broadcast_max_rows: int = 5_000_000):
     """As-of join: for each left row, attach the right row with the same
     key whose ``right_ts`` is the LATEST value ≤ ``left_ts`` (backward
-    as-of, inner).  Ray Data has no native as-of join; this is the
-    composition the engine uses — bucket both sides by hash(key), union,
-    then a per-bucket pandas ``merge_asof`` over (key, ts)-sorted frames.
+    as-of, inner).  Ray Data has no native as-of join; two compositions:
 
-    Partitioning assumption (documented): one KEY's rows co-locate in
-    one bucket — per-bucket memory is that bucket's share of both sides,
-    so salt hot keys if a single key dominates.  Right-side non-key
-    columns colliding with left names get ``suffix``."""
+    - ``broadcast`` (chosen by ``auto`` when the right side fits
+      ``broadcast_max_rows``): the right side — typically a dimension /
+      per-key summary — is sorted once, broadcast via ray.put, and each
+      left batch runs a vectorized ``merge_asof`` map-side: ZERO
+      shuffles of the (big) left side.
+    - ``shuffle`` (the both-sides-large scale path): bucket both sides
+      by hash(key), union, per-bucket pandas ``merge_asof``.
+
+    Partitioning assumption of the shuffle path (documented): one KEY's
+    rows co-locate in one bucket — per-bucket memory is that bucket's
+    share of both sides, so salt hot keys if a single key dominates.
+    Right-side non-key columns colliding with left names get
+    ``suffix``."""
     import pandas as pd
 
     from .shuffle import hash_mod
+
+    if strategy in ("auto", "broadcast"):
+        bcast = _asof_broadcast(left, right, on, left_ts, right_ts,
+                                suffix, broadcast_max_rows)
+        if bcast is not None:
+            return bcast
+        if strategy == "broadcast":
+            raise ValueError("right side exceeds broadcast_max_rows")
 
     lschema, rschema = left.schema(), right.schema()
     lnames = list(lschema.names)
@@ -157,3 +174,35 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
 
     return (tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
             .map_batches(coerce, batch_format="pyarrow"))
+
+
+def _asof_broadcast(left, right, on, left_ts, right_ts, suffix,
+                    broadcast_max_rows):
+    """Broadcast variant of asof_join; None if the right side is too
+    big (caller falls back to the shuffle composition)."""
+    import pandas as pd
+
+    import ray as _ray
+
+    r_pdf = right.limit(broadcast_max_rows + 1).to_pandas()
+    if len(r_pdf) > broadcast_max_rows:
+        return None
+    lnames = list(left.schema().names)
+    rkeep = [n for n in r_pdf.columns if n not in (on, right_ts)]
+    rename_r = {n: (n + suffix if n in lnames else n) for n in rkeep}
+    r_pdf = (r_pdf.rename(columns={**rename_r, right_ts: "_rts"})
+             .sort_values("_rts", kind="mergesort").reset_index(drop=True))
+    out_cols = lnames + [rename_r[n] for n in rkeep]
+    r_ref = _ray.put(r_pdf)
+
+    def merge_map(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        r = _ray.get(r_ref)
+        l = df.sort_values(left_ts, kind="mergesort")
+        out = pd.merge_asof(l, r, left_on=left_ts, right_on="_rts",
+                            by=on, direction="backward")
+        out = out[out["_rts"].notna()].drop(columns=["_rts"])
+        return out[out_cols]
+
+    return left.map_batches(merge_map, batch_format="pandas")

@@ -307,6 +307,29 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
             .map_batches(coerce, batch_format="pyarrow"))
 
 
+def lsh_search(bucketed, query: np.ndarray, k: int = 10,
+               n_planes: int = 12, seed: int = 42,
+               probe_hamming: int = 1, col: str = "embedding"):
+    """ANN over a HyperplaneBucketer-bucketed dataset: probe the query's
+    bucket plus all buckets within ``probe_hamming`` bit flips, exact
+    cosine re-rank inside the probed set (expected candidate share
+    ≈ Σ_{d≤h} C(p,d) / 2^p of the corpus).  The bucketer must have been
+    built with the same (dim, n_planes, seed)."""
+    q = np.asarray(query, dtype=np.float64)
+    bucketer = HyperplaneBucketer(dim=q.shape[0], n_planes=n_planes,
+                                  seed=seed, col=col)
+    qb = bucketer.bucket_of(q)
+    probes = {qb}
+    if probe_hamming >= 1:
+        probes |= {qb ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qb ^ (1 << i) ^ (1 << j))
+    cand = bucketed.filter(expr=f"bucket in {sorted(probes)!r}")
+    return knn_to_vector(cand, q, k=k, col=col)
+
+
 class HyperplaneBucketer:
     """Random-hyperplane LSH bucket ids (scale path for ANN): vectors in
     the same ``bucket`` are cosine-close candidates; search probes the

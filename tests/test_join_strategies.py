@@ -37,3 +37,29 @@ def test_pmi_join_equals_broadcast(ray_session):
         assert a[t].keys() == b[t].keys()
         for c in a[t]:
             assert abs(a[t][c] - b[t][c]) < 1e-12
+
+
+def test_asof_join_broadcast_equals_shuffle(ray_session):
+    from ice_ray.functions.join import asof_join
+    from ice_ray.functions.shuffle import grouped_aggregate
+
+    events = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    day = grouped_aggregate(
+        orders, keys=["o_custkey", "o_orderdate"],
+        specs=[("o_orderkey", "max")],
+        rename={"o_orderkey_max": "last_orderkey"})
+    day = day.map_batches(
+        lambda t: t.rename_columns(["user_id", "o_orderdate", "last_orderkey"]),
+        batch_format="pyarrow").materialize()
+
+    a = asof_join(events, day, on="user_id", left_ts="ts",
+                  right_ts="o_orderdate", strategy="broadcast")
+    b = asof_join(events, day, on="user_id", left_ts="ts",
+                  right_ts="o_orderdate", strategy="shuffle")
+    ca = _canon(a.to_pandas(), ["event_id"])
+    cb = _canon(b.to_pandas(), ["event_id"])
+    pd.testing.assert_frame_equal(ca, cb)

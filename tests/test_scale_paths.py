@@ -91,3 +91,34 @@ def test_ivf_persisted_partition_pruning_and_recall(ray_session, tmp_path):
     probed_bytes = sum(dir_bytes(d) for d in probed if os.path.isdir(d))
     assert probed_bytes < total, "probed partitions must be a strict subset"
     assert probed_bytes <= total * (n_probe / n_centroids + 0.35)
+
+
+def test_lsh_search_recall_and_pruning(ray_session):
+    from ice_ray.stages.similarity import (
+        HyperplaneBucketer,
+        knn_to_vector,
+        lsh_search,
+    )
+
+    pdf = _clustered_vectors(n=2000, noise=0.25)
+    emb = ray.data.from_pandas(pdf)
+    n_planes, dim = 10, 64
+    bucketed = emb.map_batches(
+        HyperplaneBucketer(dim=dim, n_planes=n_planes),
+        batch_format="pyarrow").materialize()
+    recalls, fracs = [], []
+    for qi in (0, 333, 1200):
+        q = np.asarray(pdf["embedding"].iloc[qi], dtype=np.float64)
+        approx = lsh_search(bucketed, q, k=10, n_planes=n_planes,
+                            probe_hamming=2).to_pandas()
+        exact = knn_to_vector(emb, q, k=10).to_pandas()
+        recalls.append(len(set(approx.vec_id) & set(exact.vec_id)) / 10)
+        bucketer = HyperplaneBucketer(dim=dim, n_planes=n_planes)
+        qb = bucketer.bucket_of(q)
+        probes = {qb} | {qb ^ (1 << i) for i in range(n_planes)}
+        probes |= {qb ^ (1 << i) ^ (1 << j)
+                   for i in range(n_planes) for j in range(i + 1, n_planes)}
+        bdf = bucketed.to_pandas()
+        fracs.append(bdf["bucket"].isin(probes).mean())
+    assert np.mean(recalls) >= 0.8, recalls
+    assert max(fracs) < 0.5, fracs  # probes a strict minority of the corpus
