@@ -11,6 +11,7 @@ Commands:
   expand        PMI index + seeds → expanded entity set (expandEntitySet)
   bootstrap     paths + seed path → candidate patterns (bootstrapRelation)
   kg            transcripts → edge table (the flagship; resumable)
+  refresh       incremental re-extraction after an entity-set change
   gen-corpus    write the deterministic synthetic transcripts corpus
 
 This module owns a Ray session (guarded init/shutdown) — the only
@@ -55,6 +56,15 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--no-resume", action="store_true")
             sp.add_argument("--group-size", type=int, default=8)
             sp.add_argument("--partitions", type=int, default=64)
+
+    sp = sub.add_parser("refresh")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--out", required=True, help="existing kg output dir")
+    sp.add_argument("--terms", required=True,
+                    help="comma-separated changed entity-set terms")
+    sp.add_argument("--entity-set", default=None,
+                    help="TYPE=phrase1,phrase2 extra entity set")
+    sp.add_argument("--group-size", type=int, default=8)
 
     sp = sub.add_parser("expand")
     sp.add_argument("--index", required=True, help="PMI index parquet dir")
@@ -125,6 +135,20 @@ def main(argv: list[str] | None = None) -> int:
                 if f.endswith(".parquet")) if os.path.isdir(args.input) else [args.input]
             stats = run_kg_job(files, args.out, group_size=args.group_size,
                                resume=not args.no_resume)
+            print(json.dumps(stats))
+        elif args.cmd == "refresh":
+            from ice_ray.pipelines.kg import refresh_kg_job
+            files = sorted(
+                os.path.join(args.input, f) for f in os.listdir(args.input)
+                if f.endswith(".parquet")) if os.path.isdir(args.input) else [args.input]
+            extra = None
+            if args.entity_set:
+                etype, _, phrases = args.entity_set.partition("=")
+                extra = {etype: [x for x in phrases.split(",") if x]}
+            stats = refresh_kg_job(files, args.out,
+                                   changed_terms=args.terms.split(","),
+                                   extra_entity_sets=extra,
+                                   group_size=args.group_size)
             print(json.dumps(stats))
     finally:
         ray.shutdown()
