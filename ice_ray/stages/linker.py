@@ -28,38 +28,6 @@ from ..nlp.lexicon import PRONOUNS
 _PRON_ARR = pa.array(sorted(PRONOUNS))
 
 
-def _mention_key(turn: int, flag: int) -> int:
-    """Total order over a conversation's person mentions: obj mentions
-    (flag=1) follow subj mentions (flag=0) within a turn; a pronoun at
-    turn t resolves to the rightmost mention with key ≤ 2t−1, i.e.
-    strictly earlier turns."""
-    return 2 * int(turn) + flag
-
-
-def link_group(df: pd.DataFrame) -> pd.DataFrame:
-    """Resolve bare surnames within one conversation's edges (pandas group
-    in / out; sorted by turn_idx so resolution is deterministic)."""
-    df = df.sort_values("turn_idx", kind="mergesort")
-    # registry: surname → set of full names seen in this conversation
-    registry: dict[str, set[str]] = {}
-    for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-        for val, typ in zip(df[col], df[tcol]):
-            if typ == "PERSON" and " " in val:
-                registry.setdefault(val.split()[-1], set()).add(val)
-
-    def resolve(val: str, typ: str) -> str:
-        if typ == "PERSON" and " " not in val:
-            full = registry.get(val)
-            if full and len(full) == 1:
-                return next(iter(full))
-        return val
-
-    df = df.copy()
-    df["subj"] = [resolve(v, t) for v, t in zip(df["subj"], df["subj_type"])]
-    df["obj"] = [resolve(v, t) for v, t in zip(df["obj"], df["obj_type"])]
-    return df
-
-
 def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
     """Link every conversation inside one hash bucket — fully vectorized:
     build a (conv_id, surname) → unique-full-name registry with pandas
