@@ -53,3 +53,33 @@ def test_hot_conversation_and_hot_subject(ray_session):
         first = edges.set_index(["subj", "pred", "obj"]).loc[
             ("Fred Smith", "livesIn", "Chicago")]
         assert first["conv_id"] == "conv-hot" and first["turn_idx"] == 0
+
+
+def test_hot_pronoun_conversation(ray_session):
+    """A conversation that is almost entirely pronoun turns (hot conv key
+    AND hot coref load) resolves correctly in both strategies, and the
+    pronoun edges' weight reflects every occurrence."""
+    import ray.data
+
+    from ice_ray.config import PipelineConfig
+    from ice_ray.pipelines.kg import build_kg
+
+    n = 8000
+    conv_ids = ["conv-pron"] * (n + 1) + ["conv-x"]
+    turn_idxs = list(range(n + 1)) + [0]
+    texts = (["Karl Jones lives in Denver."]
+             + ["She visited Paris."] * n
+             + ["Mary Brown works for Globex."])
+    tbl = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "text": pa.array(texts, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    for strategy in ("broadcast", "shuffle"):
+        edges = build_kg(ds, cfg=PipelineConfig(link_strategy=strategy)).to_pandas()
+        w = dict(zip(zip(edges["subj"], edges["pred"], edges["obj"]),
+                     edges["weight"]))
+        assert w[("Karl Jones", "visited", "Paris")] == n, strategy
+        assert w[("Karl Jones", "livesIn", "Denver")] == 1
+        assert not any(s.lower() == "she" for s in edges["subj"])
