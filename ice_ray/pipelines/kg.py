@@ -41,12 +41,14 @@ from ..state.manifest import Manifest, fingerprint_files, fingerprint_params
 
 def extract_paths(transcripts: "ray.data.Dataset",
                   cfg: PipelineConfig | None = None,
-                  emit_repr: bool = True) -> "ray.data.Dataset":
+                  emit_repr: bool = True,
+                  emit_person_mentions: bool = False) -> "ray.data.Dataset":
     cfg = cfg or PipelineConfig()
     return transcripts.map_batches(
         AnnotateExtract,
         fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
                                "emit_repr": emit_repr,
+                               "emit_person_mentions": emit_person_mentions,
                                "cache_max": cfg.extract_cache_max},
         batch_format="pyarrow",
         batch_size=cfg.annotator_batch_size,
@@ -94,6 +96,9 @@ def dedup_edges(edges: "ray.data.Dataset",
     (deterministic ``min_by(turn_order_key)``, SURVEY §4 ordering note).
     Two-stage bucketed aggregate (functions/shuffle.py): the shuffle moves
     per-batch partials only."""
+    # "@MENTION" pseudo-edges (coref antecedent carriers from path-less
+    # turns) are consumed by the linker stages and end here
+    edges = edges.filter(expr='pred != "@MENTION"')
     agg = grouped_aggregate(
         edges.map_batches(_add_src_key, batch_format="pyarrow"),
         keys=["subj", "pred", "obj"],
@@ -181,8 +186,10 @@ def build_kg(transcripts: "ray.data.Dataset",
              cfg: PipelineConfig | None = None) -> "ray.data.Dataset":
     """transcripts → deduplicated canonical edge dataset (lazy)."""
     cfg = cfg or PipelineConfig()
-    # the decode path needs no repr/example — skip the linearizer
-    paths = extract_paths(transcripts, cfg, emit_repr=False)
+    # the decode path needs no repr/example — skip the linearizer;
+    # person mentions of path-less turns ride along for coref
+    paths = extract_paths(transcripts, cfg, emit_repr=False,
+                          emit_person_mentions=True)
     edges = decode_edges(paths, rules, cfg)
     edges = canonicalize_edges(edges, strategy=cfg.link_strategy)
     return dedup_edges(edges)
@@ -279,7 +286,9 @@ def run_kg_job(input_files: list[str], out_dir: str,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
                                    override_num_blocks=max(len(files), ncpu * 4))
-        edges = decode_edges(extract_paths(ds, cfg, emit_repr=False), rules, cfg)
+        edges = decode_edges(extract_paths(ds, cfg, emit_repr=False,
+                                           emit_person_mentions=True),
+                             rules, cfg)
         gdir = os.path.join(out_dir, "raw_edges", gid)
         edges.write_parquet(gdir, mode="overwrite")
         n = ray.data.read_parquet(gdir).count()
@@ -359,6 +368,7 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
                 AnnotateExtract,
                 fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,
                                        "emit_repr": False,
+                                       "emit_person_mentions": True,
                                        "extra_entity_sets": extra_entity_sets},
                 batch_format="pyarrow",
                 batch_size=cfg.annotator_batch_size,

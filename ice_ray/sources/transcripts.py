@@ -84,8 +84,9 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
     # coref tracking mirrors the linker's antecedent rule exactly: after a
     # template turn the "last person" is the rightmost PERSON mention of
     # that turn's edges (obj if the obj is a person, else the subj);
-    # pronoun turns do not move it.  Bare surnames count as mentions of
-    # the resolved full name.
+    # path-less turns with a PERSON mention (the bracket template) also
+    # update it via @MENTION rows; pronoun turns do not move it.  Bare
+    # surnames count as mentions of the resolved full name.
     last_person: str | None = None
 
     def person_surface(full: str, introduced: bool) -> str:
@@ -112,7 +113,10 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
         elif r < 0.26:
             text = _long_sentence(rng)
         elif r < 0.28:
-            text = f"The file (see notes) mentions {p1_full} and {city}."  # brackets → dropped
+            # brackets → path extraction drops the sentence, but the
+            # PERSON mention is still a coref antecedent (@MENTION row)
+            text = f"The file (see notes) mentions {p1_full} and {city}."
+            last_person = p1_full
         elif r < 0.34 and last_person is not None:
             # pronoun subject — the linker must resolve it to the nearest
             # preceding PERSON mention (gender-free, so any pronoun works)
@@ -225,8 +229,8 @@ def materialize_corpus(n_turns: int, seed: int = 42, base_dir: str = "/tmp/ice_r
     parameter-keyed directory; returns the directory.  Sharded with small
     row groups so Ray's read splits into many blocks (row-group
     granularity bounds read parallelism); cached across runs."""
-    # v3: pronoun-coref templates (bump invalidates cached v2 corpora)
-    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v3")
+    # v4: bracket-turn mentions are coref antecedents (invalidates v3)
+    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v4")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

@@ -82,12 +82,20 @@ class AnnotateExtract:
 
     def __init__(self, extra_entity_sets: dict | None = None,
                  max_intervening: int = 3, emit_repr: bool = True,
-                 cache_max: int = 100_000):
+                 cache_max: int = 100_000,
+                 emit_person_mentions: bool = False):
         self.entity_dict = build_entity_dict(extra_entity_sets)
         self.lower_dict = lower_entity_dict(self.entity_dict)
         self.max_len = max_entity_phrase_len(self.entity_dict)
         self.max_intervening = max_intervening
         self.emit_repr = emit_repr
+        # emit_person_mentions (the KG/coref path): turns that produce NO
+        # path rows but DO contain PERSON name mentions emit one sentinel
+        # row per distinct surface (typed_path "@MENTION") so the coref
+        # pass can use antecedents from relation-less turns (e.g. a
+        # bracketed sentence path extraction drops).  Turns WITH paths
+        # already surface their mentions as edge arguments.
+        self.emit_person_mentions = emit_person_mentions
         self.columns = PATH_COLUMNS if emit_repr else PATH_COLUMNS[:-2]
         # distinct-text memo: extraction output depends only on the text,
         # and transcripts repeat boilerplate (tool turns, templates)
@@ -97,6 +105,25 @@ class AnnotateExtract:
         self.cache_max = cache_max
         self._cache: dict[str, list] = {}
 
+    def _mention_rows(self, ann: dict) -> list[dict]:
+        from ..nlp.lexicon import PRONOUNS
+
+        seen: list[str] = []
+        text_mentions = ann["mentions"]
+        for m in text_mentions:
+            if m[4] != "PERSON":
+                continue
+            surface = ann["_text"][m[0]:m[1]]
+            if surface.lower() in PRONOUNS or surface in seen:
+                continue
+            seen.append(surface)
+        empty = {"arg2_text": "", "arg2_type": "", "path": "",
+                 "typed_path": "@MENTION", "instance_key": ""}
+        if self.emit_repr:
+            empty = {**empty, "repr": "", "example": ""}
+        return [{"arg1_text": s, "arg1_type": "PERSON", **empty}
+                for s in seen]
+
     def _rows_for(self, text: str) -> list:
         rows = self._cache.get(text)
         if rows is None:
@@ -105,6 +132,9 @@ class AnnotateExtract:
             rows = extract_paths_from_turn(
                 text, ann["sentences"], ann["tokens"], ann["mentions"],
                 ann["deps"], self.max_intervening, emit_repr=self.emit_repr)
+            if self.emit_person_mentions and not rows:
+                ann["_text"] = text
+                rows = self._mention_rows(ann)
             if len(self._cache) < self.cache_max:
                 self._cache[text] = rows
         return rows

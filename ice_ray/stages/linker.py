@@ -403,9 +403,11 @@ def build_link_state(edges: "ray.data.Dataset"):
                     k2s.append(v.rsplit(" ", 1)[1] + "\x01" + v)
                     ns.append(1)
             # S rows: everything that is not a bare PERSON name/pronoun
+            # (empty strings — e.g. the obj slot of @MENTION pseudo-edges
+            # — carry no surface and are excluded)
+            skip = pc.or_(pc.or_(bare_mask, is_pron), pc.equal(vals, ""))
             for vc in pc.value_counts(pc.drop_null(
-                    pc.if_else(pc.or_(bare_mask, is_pron),
-                               pa.nulls(len(vals), pa.string()), vals))):
+                    pc.if_else(skip, pa.nulls(len(vals), pa.string()), vals))):
                 kinds.append("S")
                 k1s.append(vc["values"].as_py())
                 k2s.append("")

@@ -88,11 +88,17 @@ class Tagger:
         import pyarrow.compute as pc
 
         # rule lookup on the batch's dictionary-encoded typed_path uniques
-        # (distinct typed paths ≪ rows), then vectorized take/filter
+        # (distinct typed paths ≪ rows), then vectorized take/filter.
+        # "@MENTION" sentinel rows (person mentions of path-less turns,
+        # stages/annotator.py) pass through as pred="@MENTION" pseudo-
+        # edges for the coref pass, which consumes and drops them.
         enc = pc.dictionary_encode(batch.column("typed_path").combine_chunks())
         uniq = enc.dictionary.to_pylist()
         rel_u: list[str | None] = []
         for key in uniq:
+            if key == "@MENTION":
+                rel_u.append("@MENTION")
+                continue
             rel = self.exact.get(key)
             if rel is None and self.soft:
                 rel = self._soft_match(key)

@@ -112,3 +112,15 @@ def test_pronoun_broadcast_and_shuffle_paths_equal(ray_session):
     fast = canon(resolve_pronoun_edges(edges))
     slow = canon(resolve_pronoun_edges(edges, mention_broadcast_max=0))
     assert fast == slow and len(fast) > 0
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_antecedent_from_relation_less_turn(ray_session, strategy):
+    """The antecedent may appear only in a turn that yields NO relation
+    (bracketed sentence → path extraction drops it, but the PERSON
+    mention rides an @MENTION row into the coref pass)."""
+    triples = _build([
+        "The file (see notes) mentions Fred Smith and Chicago.",
+        "He visited Paris.",
+    ], strategy)
+    assert ("Fred Smith", "visited", "Paris") in triples
