@@ -447,6 +447,25 @@ def _q_pmi_index(sf_dir: str):
     return idx.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_quality_topk(sf_dir: str):
+    """Top-3 documents per language by quality score (grouped top-k:
+    per-batch partial top-k per group, no global sort)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.textstats import quality_score
+    from ice_ray.stages.windows import grouped_topk
+
+    docs = _docs(sf_dir)
+
+    def score_with_lang(batch: pa.Table) -> pa.Table:
+        q = quality_score(batch)
+        return q.append_column("lang", batch.column("lang"))
+
+    scored = docs.map_batches(score_with_lang, batch_format="pyarrow")
+    return grouped_topk(scored, "lang", "quality", 3, tie_col="doc_id")
+
+
 def _q_orders_sample(sf_dir: str):
     """Deterministic stratified sample: 5 orders per order status, keyed
     by md5(orderkey) so the SQL oracle reproduces the selection exactly
@@ -613,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soft_decode": _q_soft_decode,
         "media_features": _q_media_features,
         "orders_sample": _q_orders_sample,
+        "quality_topk": _q_quality_topk,
     }
 
 
@@ -811,6 +831,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.ts, d.last_orderkey, d.n_orders_day
             FROM events e ASOF JOIN d
               ON e.user_id = d.user_id AND e.ts >= d.o_orderdate
+        """,
+        "quality_topk": f"""
+            WITH q AS ({_gold_keyed("quality", "docs")}),
+            d AS (SELECT doc_id, lang FROM documents)
+            SELECT doc_id, quality, lang FROM (
+              SELECT q.doc_id, q.quality, d.lang,
+                     row_number() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY q.quality DESC, q.doc_id) AS rn
+              FROM q JOIN d USING (doc_id)) WHERE rn <= 3
         """,
         # --- gold-parquet oracles (synthetic corpus; scale-independent) ---
         "kg_edges": _gold_synth("kg_edges"),

@@ -257,6 +257,68 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
     return est.filter(expr=f"est_jaccard >= {threshold}")
 
 
+def minhash_neardup_pairs_exact(ds, threshold: float = 0.5,
+                                num_perm: int = 64, bands: int = 16,
+                                k: int = 3,
+                                broadcast_max_docs: int = 200_000):
+    """LSH candidates verified by EXACT word-k-gram Jaccard on the
+    document text (the ngram_jaccard kernel) instead of the signature
+    estimate → (id1, id2, jaccard ≥ threshold).  Texts are re-attached
+    like signatures: broadcast below ``broadcast_max_docs``, keyed joins
+    above (text payloads make the join path the right call earlier than
+    for 0.5 KB signatures)."""
+    import ray
+
+    # candidates at a permissive estimate threshold; exact Jaccard decides
+    cand = minhash_neardup_pairs(ds, threshold=min(threshold, 0.3),
+                                 num_perm=num_perm, bands=bands, k=k,
+                                 broadcast_max_docs=broadcast_max_docs)
+
+    def exact(batch: pa.Table, text_by_id) -> pa.Table:
+        ids1 = batch.column("id1").to_pylist()
+        ids2 = batch.column("id2").to_pylist()
+        j = [round(ngram_jaccard(text_by_id[a], text_by_id[b], k), 6)
+             for a, b in zip(ids1, ids2)]
+        t = pa.table({"id1": batch.column("id1"),
+                      "id2": batch.column("id2"),
+                      "jaccard": pa.array(j, pa.float64())})
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    n_docs = ds.count()
+    if n_docs <= broadcast_max_docs:
+        texts = {r["doc_id"]: r["text"]
+                 for r in ds.select_columns(["doc_id", "text"]).iter_rows()}
+        tref = ray.put(texts)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            return exact(batch, ray.get(tref))
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    from ..functions.join import bucketed_hash_join
+
+    cand = cand.materialize()
+    t1 = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["id1", "text1"]), batch_format="pyarrow")
+    t2 = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["id2", "text2"]), batch_format="pyarrow")
+    with1 = bucketed_hash_join(cand, t1, "id1", "id1").materialize()
+    with2 = bucketed_hash_join(with1, t2, "id2", "id2")
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        j = [round(ngram_jaccard(a, b, k), 6)
+             for a, b in zip(batch.column("text1").to_pylist(),
+                             batch.column("text2").to_pylist())]
+        t = pa.table({"id1": batch.column("id1"),
+                      "id2": batch.column("id2"),
+                      "jaccard": pa.array(j, pa.float64())})
+        return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
+
+    return with2.map_batches(verify_joined, batch_format="pyarrow")
+
+
 def neardup_clusters(pairs_ds, max_rounds: int = 50):
     """Connected components by iterative min-label propagation over the
     candidate-pair edge list (driver loop over a small pair set)."""

@@ -109,6 +109,29 @@ def sliding_counts(events, window_minutes: int = 60, slide_minutes: int = 15):
         rename={"n_sum": "n", "value_sum_sum": "value_sum"})
 
 
+def grouped_topk(ds, group_col: str, order_col: str, k: int,
+                 tie_col: str, descending: bool = True):
+    """Top-k rows per group by ``order_col`` (ties broken on ``tie_col``
+    ascending — deterministic).  Per-batch partial top-k per group
+    bounds the shuffle to ≤ k·groups·batches rows; one small
+    groupby finishes.  The training-data shape: e.g. the k best
+    documents per domain by quality score."""
+    import pandas as pd
+
+    in_cols = list(ds.schema().names)
+
+    def take(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_col not in df.columns:
+            return pd.DataFrame({c: [] for c in in_cols})
+        return (df.sort_values([order_col, tie_col],
+                               ascending=[not descending, True],
+                               kind="mergesort")
+                .groupby(group_col, sort=False).head(k))[in_cols]
+
+    partial = ds.map_batches(take, batch_format="pandas")
+    return partial.groupby(group_col).map_groups(take, batch_format="pandas")
+
+
 def top_users_by_value(events, k: int = 10):
     """Top-k users by Σvalue, deterministic tie-break on user_id."""
     from ..functions.shuffle import grouped_aggregate

@@ -206,3 +206,31 @@ def test_deterministic_sample(ray_session):
     # different seed → different sample
     s3 = sample_n(docs, 50, "doc_id", seed=8)
     assert sorted(s1["doc_id"]) != sorted(s3["doc_id"])
+
+
+def test_minhash_exact_verify(ray_session):
+    import ray.data
+
+    from ice_ray.stages.dedup import (
+        minhash_neardup_pairs_exact,
+        ngram_jaccard,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    docs = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base.replace("green", "dark")},
+        {"doc_id": 3, "text": "completely different content about ray data "
+                              "pipelines shuffles and arrow batches"},
+    ]
+    ds = ray.data.from_items(docs)
+    for bmax in (200_000, 0):  # broadcast path, then join path
+        pairs = minhash_neardup_pairs_exact(
+            ds, threshold=0.5, broadcast_max_docs=bmax).to_pandas()
+        got = {tuple(sorted((a, b))): j for a, b, j in
+               zip(pairs["id1"], pairs["id2"], pairs["jaccard"])}
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 2)] == round(ngram_jaccard(base, docs[2]["text"]), 6)
+        assert (0, 3) not in got
