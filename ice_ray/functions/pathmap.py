@@ -68,7 +68,7 @@ def merge_count_tables(a, b, key: str = "typed_path"):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Min, Sum
+    from .shuffle import grouped_aggregate
 
     def pack(batch: pa.Table) -> pa.Table:
         ex = batch.column("example")
@@ -80,10 +80,12 @@ def merge_count_tables(a, b, key: str = "typed_path"):
 
     both = a.map_batches(pack, batch_format="pyarrow").union(
         b.map_batches(pack, batch_format="pyarrow"))
-    agg = both.groupby(key).aggregate(
-        Sum("count", alias_name="count"),
-        Min("payload", alias_name="payload"),  # min by (len, example) → shortest
-    )
+    # min payload by (len, example) → shortest example; bucketed Arrow
+    # two-stage aggregate instead of Ray's row-based reduce
+    agg = grouped_aggregate(both, keys=[key],
+                            specs=[("count", "sum"), ("payload", "min")],
+                            rename={"count_sum": "count",
+                                    "payload_min": "payload"})
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch.column("payload"), "\x01")

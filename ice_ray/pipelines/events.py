@@ -64,24 +64,25 @@ def extract_trees(transcripts, batch_size: int = 1024,
 
 def tree_type_counts(trees, min_freq: int = 1):
     """groupby(core) → count + first-wins repr under pinned turn order
-    (EventTypes + EventRepr analog)."""
+    (EventTypes + EventRepr analog); bucketed two-stage Arrow aggregate
+    (functions/shuffle.py) — the shuffle moves per-batch partials only."""
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Min, Sum
+    from ..functions.shuffle import grouped_aggregate
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def add_payload(batch: pa.Table) -> pa.Table:
         src = pc.binary_join_element_wise(
             batch.column("conv_id"),
             pc.utf8_lpad(pc.cast(batch.column("turn_idx"), pa.string()), 9, "0"),
             "#")
         payload = pc.binary_join_element_wise(src, batch.column("repr"), "\x01")
-        t = batch.append_column("payload", payload)
-        g = t.group_by(["core"]).aggregate([("core", "count"), ("payload", "min")])
-        return g.rename_columns(["core", "n", "payload_min"])
+        return batch.append_column("payload", payload)
 
-    agg = (trees.map_batches(partial, batch_format="pyarrow")
-           .groupby("core").aggregate(Sum("n", alias_name="count"),
-                                      Min("payload_min", alias_name="payload")))
+    agg = grouped_aggregate(
+        trees.map_batches(add_payload, batch_format="pyarrow"),
+        keys=["core"],
+        specs=[("core", "count"), ("payload", "min")],
+        rename={"core_count": "count", "payload_min": "payload"})
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch.column("payload"), "\x01")
