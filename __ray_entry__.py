@@ -417,6 +417,20 @@ def _q_events_decoded(sf_dir: str):
                                        concurrency=(1, 2)))
 
 
+def _q_event_bootstrap_candidates(sf_dir: str):
+    """Event-pattern bootstrap: seed tree signatures → shared-argument
+    candidate trees ranked by s/t · s/(s+1)
+    (events/EventBootstrap.java:236-409)."""
+    from ice_ray.pipelines.events import (
+        event_bootstrap_shared_args,
+        extract_trees,
+    )
+    trees = extract_trees(_synth_transcripts(1500), concurrency=(1, 2),
+                          emit_args=True)
+    return event_bootstrap_shared_args(
+        trees, seed_cores=["discuss nsubj:OTHER dobj:OTHER"])
+
+
 def _q_ice_terms(sf_dir: str):
     from ice_ray.pipelines.preprocess import annotate
     from ice_ray.pipelines.terms import ice_term_counts
@@ -617,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_type_counts": _q_path_type_counts,
         "tree_counts": _q_tree_counts,
         "events_decoded": _q_events_decoded,
+        "event_bootstrap_candidates": _q_event_bootstrap_candidates,
         "ice_terms": _q_ice_terms,
         "pmi_index": _q_pmi_index,
         "path_instance_counts": _q_path_instance_counts,
@@ -852,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "ice_terms": _gold_synth("ice_terms"),
         "pmi_index": _gold_synth("pmi_index"),
         "bootstrap_candidates": _gold_synth("bootstrap_candidates"),
+        "event_bootstrap_candidates": _gold_synth("event_bootstrap_candidates"),
         "soft_decode": _gold_synth("soft_decode"),
         "media_features": _gold_synth("media_features"),
         # --- gold-parquet oracles keyed by input-table content ---

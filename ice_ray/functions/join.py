@@ -26,11 +26,22 @@ _JOIN_TYPE = {"inner": "inner", "left": "left outer",
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
-                       how: str = "inner", num_buckets: int = 32):
+                       how: str = "inner", num_buckets: int = 32,
+                       salt: int = 1):
     """→ joined dataset (Acero hash-join semantics per bucket).  Column
     names must be disjoint apart from the keys; both key columns are kept
-    in the output (pandas-merge convention)."""
+    in the output (pandas-merge convention).
+
+    ``salt > 1`` enables hot-key salting (inner joins): every left row
+    is sprayed across ``salt`` sub-buckets of its hash bucket and the
+    right side is REPLICATED into all of them, so a key holding half
+    the left rows splits into ``salt`` bounded reduce groups instead of
+    one giant one.  Cost: right side shuffled ``salt`` times — use when
+    the left is skewed and the right is the smaller side."""
     join_type = _JOIN_TYPE[how]
+    if salt > 1 and how != "inner":
+        raise ValueError("salting supports inner joins only "
+                         "(outer semantics would duplicate null-matches)")
 
     # capture each side's column list at call time; the union carries the
     # other side's columns as typed nulls and we split by these lists (a
@@ -47,6 +58,7 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 
     def add_meta(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
             b = hash_mod(batch.column(key), num_buckets)
             cols, names = [], []
             for n, t in all_fields:
@@ -56,8 +68,26 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
                 else:
                     cols.append(pa.nulls(batch.num_rows, t))
             out = pa.table(dict(zip(names, cols)))
-            return (out.append_column("_bucket", b)
-                       .append_column("_side", pa.array([side] * batch.num_rows)))
+            if salt > 1:
+                base = pc.multiply(b, salt)
+                if side == "L":
+                    # deterministic round-robin shard per left row
+                    shard = pa.array(
+                        (np.arange(batch.num_rows) % salt).astype("int32"))
+                    b = pc.add(base, shard)
+                else:
+                    # replicate right rows into every shard
+                    reps, bs = [], []
+                    for s in range(salt):
+                        reps.append(out)
+                        bs.append(pc.add(base, s))
+                    out = pa.concat_tables(reps)
+                    b = pa.concat_arrays([x.combine_chunks()
+                                          if isinstance(x, pa.ChunkedArray)
+                                          else x for x in bs])
+            return (out.append_column("_bucket", pc.cast(b, pa.int32()))
+                       .append_column("_side",
+                                      pa.array([side] * out.num_rows)))
         return fn
 
     tagged = (left.map_batches(add_meta("L", left_on), batch_format="pyarrow")
@@ -81,7 +111,9 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
               num_buckets: int = 32, suffix: str = "_r",
               strategy: str = "auto",
-              broadcast_max_rows: int = 5_000_000):
+              broadcast_max_rows: int = 5_000_000,
+              broadcast_max_bytes: int = 512 << 20,
+              salt: int = 1):
     """As-of join: for each left row, attach the right row with the same
     key whose ``right_ts`` is the LATEST value ≤ ``left_ts`` (backward
     as-of, inner).  Ray Data has no native as-of join; two compositions:
@@ -94,22 +126,26 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
     - ``shuffle`` (the both-sides-large scale path): bucket both sides
       by hash(key), union, per-bucket pandas ``merge_asof``.
 
-    Partitioning assumption of the shuffle path (documented): one KEY's
-    rows co-locate in one bucket — per-bucket memory is that bucket's
-    share of both sides, so salt hot keys if a single key dominates.
-    Right-side non-key columns colliding with left names get
-    ``suffix``."""
+    Partitioning assumption of the shuffle path: one KEY's rows
+    co-locate in one bucket — per-bucket memory is that bucket's share
+    of both sides.  ``salt > 1`` splits each bucket into salt shards
+    (left rows round-robin, right rows replicated to every shard) so a
+    single dominant key stays memory-bounded.  The broadcast gate is
+    row- AND byte-capped (incremental pull — wide right payloads fall
+    back to the shuffle path before the driver fills).  Right-side
+    non-key columns colliding with left names get ``suffix``."""
     import pandas as pd
 
     from .shuffle import hash_mod
 
     if strategy in ("auto", "broadcast"):
         bcast = _asof_broadcast(left, right, on, left_ts, right_ts,
-                                suffix, broadcast_max_rows)
+                                suffix, broadcast_max_rows,
+                                broadcast_max_bytes)
         if bcast is not None:
             return bcast
         if strategy == "broadcast":
-            raise ValueError("right side exceeds broadcast_max_rows")
+            raise ValueError("right side exceeds the broadcast caps")
 
     lschema, rschema = left.schema(), right.schema()
     lnames = list(lschema.names)
@@ -140,10 +176,26 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
                 else:
                     cols.append(pa.nulls(batch.num_rows, t))
             out = pa.table(dict(zip(names, cols)))
-            return (out.append_column("_bucket",
-                                      hash_mod(batch.column(on), num_buckets))
+            b = hash_mod(batch.column(on), num_buckets)
+            if salt > 1:
+                import numpy as np
+                base = pc.multiply(b, salt)
+                if side == "L":
+                    shard = pa.array(
+                        (np.arange(batch.num_rows) % salt).astype("int32"))
+                    b = pc.add(base, shard)
+                else:
+                    reps, bs = [], []
+                    for s in range(salt):
+                        reps.append(out)
+                        bs.append(pc.add(base, s))
+                    out = pa.concat_tables(reps)
+                    b = pa.concat_arrays([x.combine_chunks()
+                                          if isinstance(x, pa.ChunkedArray)
+                                          else x for x in bs])
+            return (out.append_column("_bucket", pc.cast(b, pa.int32()))
                        .append_column("_side",
-                                      pa.array([side] * batch.num_rows)))
+                                      pa.array([side] * out.num_rows)))
         return fn
 
     tagged = (left.map_batches(tag("L"), batch_format="pyarrow")
@@ -177,16 +229,28 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
 
 
 def _asof_broadcast(left, right, on, left_ts, right_ts, suffix,
-                    broadcast_max_rows):
+                    broadcast_max_rows, broadcast_max_bytes=512 << 20):
     """Broadcast variant of asof_join; None if the right side is too
-    big (caller falls back to the shuffle composition)."""
+    big by ROWS or BYTES (caller falls back to the shuffle
+    composition).  The pull is incremental so a wide-payload right side
+    trips the byte cap after one batch instead of filling the driver."""
     import pandas as pd
 
     import ray as _ray
 
-    r_pdf = right.limit(broadcast_max_rows + 1).to_pandas()
-    if len(r_pdf) > broadcast_max_rows:
-        return None
+    parts, rows, nbytes = [], 0, 0
+    for b in right.limit(broadcast_max_rows + 1).iter_batches(
+            batch_format="pandas", batch_size=65536):
+        rows += len(b)
+        nbytes += int(b.memory_usage(deep=True).sum())
+        if rows > broadcast_max_rows or nbytes > broadcast_max_bytes:
+            return None
+        parts.append(b)
+    if parts:
+        r_pdf = pd.concat(parts, ignore_index=True)
+    else:
+        sch = right.schema()
+        r_pdf = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
     lnames = list(left.schema().names)
     rkeep = [n for n in r_pdf.columns if n not in (on, right_ts)]
     rename_r = {n: (n + suffix if n in lnames else n) for n in rkeep}

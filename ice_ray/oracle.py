@@ -164,6 +164,12 @@ def gold_path_instance_counts(n_turns: int = 1500) -> pd.DataFrame:
             .reset_index())
 
 
+def tree_arg_pair(roles, values) -> str:
+    by_role = dict(zip(roles, values))
+    return (by_role.get("nsubj", "").lower() + ":"
+            + by_role.get("dobj", "").lower())
+
+
 def _serial_tree_rows(n_turns: int) -> pd.DataFrame:
     tr, _ = generate_transcripts(n_turns, seed=42)
     sa = _SerialAnnotator()
@@ -183,7 +189,9 @@ def _serial_tree_rows(n_turns: int) -> pd.DataFrame:
         for r in trows:
             rows.append({"conv_id": cid, "turn_idx": ti,
                          "trigger": r["trigger"], "core": r["core"],
-                         "repr": r["repr"]})
+                         "repr": r["repr"],
+                         "arg_pair": tree_arg_pair(r["roles"],
+                                                   r["arg_values"])})
     return pd.DataFrame(rows)
 
 
@@ -347,10 +355,57 @@ def gold_bootstrap_candidates(n_turns: int = 2000,
     return per_path.reset_index(drop=True)
 
 
+def gold_event_bootstrap_candidates(
+        n_turns: int = 1500,
+        seeds=("discuss nsubj:OTHER dobj:OTHER",),
+        min_shared: int = 1, min_score: float = 0.05,
+        max_items: int = 100) -> pd.DataFrame:
+    """Serial pandas re-derivation of the event bootstrap
+    (events/EventBootstrap.java:236-409): shared-arg candidate trees,
+    ``s/t · s/(s+1)`` scores, 0.05 floor, cap 100, repr-dedup."""
+    from .pipelines.events import _core_prefix, event_bootstrap_score
+
+    df = _serial_tree_rows(n_turns)
+    df["pcore"] = df["core"].map(_core_prefix)
+    df["ptrig"] = df["pcore"].str.split(" ").str[0]
+    seed_set = set(seeds)
+    seed_pairs = set(df.loc[df["pcore"].isin(seed_set), "arg_pair"])
+    shared = df[df["arg_pair"].isin(seed_pairs)
+                & ~df["pcore"].isin(seed_set)]
+    per = (shared[["pcore", "arg_pair"]].drop_duplicates()
+           .groupby("pcore").size().rename("n_shared_pairs").reset_index())
+    per = per[per["n_shared_pairs"] >= min_shared].copy()
+    totals = (df[["ptrig", "arg_pair"]].drop_duplicates()
+              .groupby("ptrig").size())
+    df["payload"] = [f"{_src_key(c, t)}\x01{r}" for c, t, r in
+                     zip(df.conv_id, df.turn_idx, df["repr"])]
+    repr_of = (df.groupby("pcore")["payload"].min()
+               .str.split("\x01").str[1].to_dict())
+    per["trigger"] = per["pcore"].str.split(" ").str[0]
+    per["n_total_pairs"] = per["trigger"].map(totals).fillna(0).astype(int)
+    per["score"] = [round(event_bootstrap_score(int(s), int(t)), 6)
+                    for s, t in zip(per["n_shared_pairs"],
+                                    per["n_total_pairs"])]
+    per["repr"] = per["pcore"].map(repr_of)
+    per = per[per["score"] >= min_score]
+    per = per.sort_values(["score", "pcore"], ascending=[False, True],
+                          kind="mergesort")
+    seen = {repr_of.get(s) for s in seed_set} - {None}
+    keep = []
+    for r in per["repr"]:
+        keep.append(r not in seen)
+        seen.add(r)
+    per = per[np.array(keep, dtype=bool)].head(max_items)
+    cols = ["pcore", "trigger", "score", "n_shared_pairs",
+            "n_total_pairs", "repr"]
+    return per[cols].reset_index(drop=True)
+
+
 def media_fixture_rows() -> list[dict]:
-    """Deterministic inline media table for the multimodal query: two
-    decodable images (PPM + BMP), one near-dup, one compressed stub."""
-    from .stages.multimodal import encode_bmp, encode_ppm
+    """Deterministic inline media table for the multimodal query: three
+    decodable images (PPM + BMP + real PNG), one near-dup, one
+    malformed-compressed stub."""
+    from .stages.multimodal import encode_bmp, encode_png, encode_ppm
 
     def gradient(w, h, bump=0):
         x = np.arange(w)[None, :]
@@ -373,6 +428,9 @@ def media_fixture_rows() -> list[dict]:
          "mime": "image/bmp", "width": 40, "height": 30, "duration_ms": -1},
         {"media_id": 3, "kind": "image", "payload": b"\x89PNG not-decodable",
          "mime": "image/png", "width": 8, "height": 8, "duration_ms": -1},
+        {"media_id": 4, "kind": "image",
+         "payload": encode_png(gradient(32, 24, bump=12)),
+         "mime": "image/png", "width": 32, "height": 24, "duration_ms": -1},
     ]
 
 
@@ -577,6 +635,7 @@ SYNTH_GOLD = {
     "ice_terms": gold_ice_terms,
     "pmi_index": gold_pmi_index,
     "bootstrap_candidates": gold_bootstrap_candidates,
+    "event_bootstrap_candidates": gold_event_bootstrap_candidates,
     "soft_decode": gold_soft_decode,
     "media_features": gold_media_features,
 }

@@ -46,9 +46,17 @@ def bootstrap_shared_args(paths, seed_paths: list[str],
     keyed = paths.map_batches(_arg_pair, batch_format="pyarrow").materialize()
 
     seed_set = set(seed_paths)
+    # broadcast is_in mask, not expression-string interpolation — holds
+    # for arbitrarily large seed sets
+    seed_arr_ref = ray.put(pa.array(sorted(seed_set), pa.string()))
+
+    def seed_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("path"), value_set=ray.get(seed_arr_ref))
+        return batch.filter(mask).select(["arg_pair"])
+
     seed_pairs = {r["arg_pair"] for r in
-                  keyed.filter(expr=f"path in {sorted(seed_set)!r}")
-                       .select_columns(["arg_pair"]).iter_rows()}
+                  keyed.map_batches(seed_filter, batch_format="pyarrow")
+                       .iter_rows()}
     if not seed_pairs:
         return None
     pairs_ref = ray.put(seed_pairs)

@@ -118,14 +118,30 @@ def build_pmi_index(annotations, min_pmi: float = 0.1,
 
     import pandas as pd
 
-    def to_index(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "term": [df["term"].iloc[0]],
-            "contexts": [[{"ctx": c, "pmi": p}
-                          for c, p in sorted(zip(df["ctx"], df["pmi"]))]],
-        })
+    from ..functions.shuffle import hash_mod
 
-    return cells.groupby("term").map_groups(to_index, batch_format="pandas")
+    # index finish: hash-bucket the terms and build ALL context lists of
+    # a bucket in one pandas call — B tasks, not |vocab| tasks (the
+    # engine's sessionize/_bucketed_band_pairs pattern)
+    num_buckets = 32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_b", hash_mod(batch.column("term"), num_buckets))
+
+    def bucket_to_index(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"term": [], "contexts": []})
+        df = df.sort_values(["term", "ctx"], kind="mergesort")
+        terms, ctxs = [], []
+        for term, g in df.groupby("term", sort=False):
+            terms.append(term)
+            ctxs.append([{"ctx": c, "pmi": p}
+                         for c, p in zip(g["ctx"], g["pmi"])])
+        return pd.DataFrame({"term": terms, "contexts": ctxs})
+
+    return (cells.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(bucket_to_index, batch_format="pandas"))
 
 
 def load_index_as_dict(index_ds) -> dict[str, dict[str, float]]:

@@ -150,12 +150,12 @@ def canonicalize_edges(edges: "ray.data.Dataset",
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     edges = edges.repartition(ncpu * 2).materialize()
-    # conversation-scoped pronoun coreference FIRST, riding the already-
-    # materialized raw edges (a bare-surname antecedent is resolved by
-    # the rewrite below — same fixpoint); its own bucketed exchange over
-    # slim mention rows, no driver state, skipped when pronoun-free
-    combined = resolve_pronoun_edges(edges, materialize_input=False)
     if strategy == "shuffle":
+        # conversation-scoped pronoun coreference first (a bare-surname
+        # antecedent is resolved by the rewrite below — same fixpoint);
+        # bucketed exchange over slim mention rows, no driver state,
+        # skipped when pronoun-free
+        combined = resolve_pronoun_edges(edges, materialize_input=False)
         linked = link_edges_by_conversation(combined).materialize()
         canon = build_canonical_map(linked)
         return linked.map_batches(
@@ -164,18 +164,42 @@ def canonicalize_edges(edges: "ray.data.Dataset",
             batch_format="pyarrow",
             concurrency=(1, _pool_max()),
         )
-    from ..stages.linker import LinkCanonRewriter, build_link_state
-
-    # link state from the materialized raw edges: pronoun surfaces are
-    # excluded from registry/canon there, and resolved pronoun mentions
-    # only repeat names already present in their conversation's edges —
-    # identical registry/canon, one pass, no double execution of the
-    # lazy pronoun union
-    registry, canon = build_link_state(edges)
-    return combined.map_batches(
+    from ..stages.linker import (
+        FusedLinkRewriter,
         LinkCanonRewriter,
+        build_link_state,
+        build_mention_index,
+    )
+
+    # fused fast path: ONE aggregate pass builds registry + canonical map
+    # + the pron-conv set; ONE (pron-conv-filtered) pass pulls the
+    # antecedent index; ONE rewrite pass resolves pronouns, links bare
+    # surnames and canonicalizes — no tag/filter/union re-scans.
+    # Registry/canon come from the raw edges: pronoun surfaces are
+    # excluded there, and resolved pronoun mentions only repeat names
+    # already present in their conversation's edges — identical state.
+    registry, canon, pron_convs = build_link_state(edges)
+    mentions = {}
+    if pron_convs:
+        mentions = build_mention_index(edges, pron_convs)
+        if mentions is None:
+            # antecedent index exceeds the broadcast cap — fall back to
+            # the bucketed mention exchange, then link + canonicalize
+            combined = resolve_pronoun_edges(edges, materialize_input=False,
+                                             mention_broadcast_max=0,
+                                             conv_set=pron_convs)
+            return combined.map_batches(
+                LinkCanonRewriter,
+                fn_constructor_kwargs={"registry_ref": ray.put(registry),
+                                       "canon_ref": ray.put(canon)},
+                batch_format="pyarrow",
+                concurrency=(1, _pool_max()),
+            )
+    return edges.map_batches(
+        FusedLinkRewriter,
         fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                               "canon_ref": ray.put(canon)},
+                               "canon_ref": ray.put(canon),
+                               "ment_ref": ray.put(mentions)},
         batch_format="pyarrow",
         concurrency=(1, _pool_max()),
     )

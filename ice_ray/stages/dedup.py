@@ -260,13 +260,15 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
 def minhash_neardup_pairs_exact(ds, threshold: float = 0.5,
                                 num_perm: int = 64, bands: int = 16,
                                 k: int = 3,
-                                broadcast_max_docs: int = 200_000):
+                                broadcast_max_docs: int = 200_000,
+                                broadcast_max_bytes: int = 512 << 20):
     """LSH candidates verified by EXACT word-k-gram Jaccard on the
     document text (the ngram_jaccard kernel) instead of the signature
     estimate → (id1, id2, jaccard ≥ threshold).  Texts are re-attached
-    like signatures: broadcast below ``broadcast_max_docs``, keyed joins
-    above (text payloads make the join path the right call earlier than
-    for 0.5 KB signatures)."""
+    like signatures: broadcast for small corpora, keyed joins above —
+    and the broadcast gate is BYTE-aware, not just count-aware (200k ×
+    100 KB docs would be 20 GB on the driver; ``size_bytes()`` of the
+    projected columns decides, capped at ``broadcast_max_bytes``)."""
     import ray
 
     # candidates at a permissive estimate threshold; exact Jaccard decides
@@ -285,10 +287,14 @@ def minhash_neardup_pairs_exact(ds, threshold: float = 0.5,
         import pyarrow.compute as pc
         return t.filter(pc.greater_equal(t.column("jaccard"), threshold))
 
-    n_docs = ds.count()
-    if n_docs <= broadcast_max_docs:
+    # ONE materialized (doc_id, text) projection serves the gate check
+    # and either attach path — count and size_bytes are then free
+    slim = ds.select_columns(["doc_id", "text"]).materialize()
+    n_docs = slim.count()
+    est_bytes = slim.size_bytes() or 0
+    if n_docs <= broadcast_max_docs and est_bytes <= broadcast_max_bytes:
         texts = {r["doc_id"]: r["text"]
-                 for r in ds.select_columns(["doc_id", "text"]).iter_rows()}
+                 for r in slim.iter_rows()}
         tref = ray.put(texts)
 
         def verify(batch: pa.Table) -> pa.Table:
@@ -299,9 +305,9 @@ def minhash_neardup_pairs_exact(ds, threshold: float = 0.5,
     from ..functions.join import bucketed_hash_join
 
     cand = cand.materialize()
-    t1 = ds.select_columns(["doc_id", "text"]).map_batches(
+    t1 = slim.map_batches(
         lambda t: t.rename_columns(["id1", "text1"]), batch_format="pyarrow")
-    t2 = ds.select_columns(["doc_id", "text"]).map_batches(
+    t2 = slim.map_batches(
         lambda t: t.rename_columns(["id2", "text2"]), batch_format="pyarrow")
     with1 = bucketed_hash_join(cand, t1, "id1", "id1").materialize()
     with2 = bucketed_hash_join(with1, t2, "id2", "id2")
@@ -386,11 +392,10 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
     n_edges = edges.count()
     # bucket count bounds reduce-group size (≈250k edge rows per group)
     num_buckets = max(8, min(4096, n_edges // 250_000 + 1))
-    # pre-bucket edges by hash(nbr) ONCE — the per-round shuffle then
-    # moves only the (much smaller) label table
-    edges_b = edges.map_batches(
-        lambda t: t.append_column("_b", hash_mod(t.column("nbr"), num_buckets)),
-        batch_format="pyarrow").materialize()
+    # pre-bucketed edge copy for the join strategy — built lazily on
+    # first use so the broadcast fast path never pays its extra shuffle
+    # and materialization
+    edges_b = None
     # initial label = own id
     labels = grouped_aggregate(
         edges.select_columns(["node"]).map_batches(
@@ -439,6 +444,13 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
             msgs = edges.map_batches(Propagate, batch_format="pyarrow",
                                      concurrency=(1, 4))
         else:
+            if edges_b is None:
+                # bucket edges by hash(nbr) ONCE — the per-round shuffle
+                # then moves only the (much smaller) label table
+                edges_b = edges.map_batches(
+                    lambda t: t.append_column(
+                        "_b", hash_mod(t.column("nbr"), num_buckets)),
+                    batch_format="pyarrow").materialize()
             # label rows join the edge buckets keyed by hash(label.node)
             # == hash(edge.nbr); nbr=null marks the label side
             lab_tagged = labels.map_batches(

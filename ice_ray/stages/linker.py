@@ -87,7 +87,72 @@ def _pron_col_mask(batch: pa.Table, col: str, tcol: str):
                    pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
 
 
-def _resolve_broadcast(tagged, pron, non_pron, conv_ref, edge_cols,
+def _mention_partial(batch: pa.Table, convs) -> pa.Table:
+    """Slim (conv_id, _key, _name) PERSON mention rows from BOTH argument
+    columns of every edge row — including the non-pronoun column of a
+    pronoun-bearing edge ("He met Alice Jones" supplies Alice Jones as an
+    antecedent for later pronouns).  ``convs`` (optional set) filters to
+    pronoun-bearing conversations map-side."""
+    import pyarrow.compute as pc
+
+    if convs is not None:
+        s = batch.column("conv_id")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        keep = pd.Series(s.to_pandas()).isin(convs).to_numpy()
+        batch = batch.filter(pa.array(keep))
+    parts = []
+    for flag, (col, tcol) in enumerate((("subj", "subj_type"),
+                                        ("obj", "obj_type"))):
+        mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                       pc.invert(_pron_col_mask(batch, col, tcol)))
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
+            continue
+        key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
+                                         pa.int64()), 2), flag)
+        parts.append(pa.table({"conv_id": sel.column("conv_id"),
+                               "_key": key,
+                               "_name": sel.column(col)}))
+    if not parts:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "_key": pa.array([], pa.int64()),
+                         "_name": pa.array([], pa.string())})
+    return pa.concat_tables(parts)
+
+
+def _index_from_mentions(m: pd.DataFrame) -> dict:
+    """(conv, _key, _name) rows → {conv: (sorted keys, names)} antecedent
+    index; ties on the same (conv, _key) keep the lexicographically
+    largest name (deterministic)."""
+    mentions: dict = {}
+    if len(m):
+        ms = (m.sort_values(["conv_id", "_key", "_name"])
+              .drop_duplicates(["conv_id", "_key"], keep="last"))
+        for conv, g in ms.groupby("conv_id", sort=False):
+            mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+    return mentions
+
+
+def build_mention_index(edges: "ray.data.Dataset", conv_set: set,
+                        mention_broadcast_max: int = 2_000_000):
+    """ONE pass over the (materialized) raw edges → broadcastable
+    antecedent index for the pronoun-bearing conversations.  Returns
+    None when the pull would exceed ``mention_broadcast_max`` rows —
+    the caller falls back to the bucketed mention exchange."""
+    conv_ref = ray.put(conv_set)
+
+    def mention_lite(batch: pa.Table) -> pa.Table:
+        return _mention_partial(batch, ray.get(conv_ref))
+
+    m = (edges.map_batches(mention_lite, batch_format="pyarrow")
+         .limit(mention_broadcast_max + 1).to_pandas())
+    if len(m) > mention_broadcast_max:
+        return None
+    return _index_from_mentions(m)
+
+
+def _resolve_broadcast(tagged, pron, conv_ref, edge_cols,
                        arrow_schema, mention_broadcast_max):
     """Broadcast fast path: mention rows of pronoun-bearing
     conversations are pulled to the driver (capped), indexed per conv,
@@ -97,41 +162,13 @@ def _resolve_broadcast(tagged, pron, non_pron, conv_ref, edge_cols,
     import pyarrow.compute as pc
 
     def mention_lite(batch: pa.Table) -> pa.Table:
-        convs = ray.get(conv_ref)
-        s = batch.column("conv_id")
-        if isinstance(s, pa.ChunkedArray):
-            s = s.combine_chunks()
-        keep = pd.Series(s.to_pandas()).isin(convs).to_numpy()
-        batch = batch.filter(pa.array(keep))
-        parts = []
-        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
-                                            ("obj", "obj_type"))):
-            mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                           pc.invert(_pron_col_mask(batch, col, tcol)))
-            sel = batch.filter(mask)
-            if sel.num_rows == 0:
-                continue
-            key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
-                                             pa.int64()), 2), flag)
-            parts.append(pa.table({"conv_id": sel.column("conv_id"),
-                                   "_key": key,
-                                   "_name": sel.column(col)}))
-        if not parts:
-            return pa.table({"conv_id": pa.array([], pa.string()),
-                             "_key": pa.array([], pa.int64()),
-                             "_name": pa.array([], pa.string())})
-        return pa.concat_tables(parts)
+        return _mention_partial(batch, ray.get(conv_ref))
 
-    m = (non_pron.map_batches(mention_lite, batch_format="pyarrow")
+    m = (tagged.map_batches(mention_lite, batch_format="pyarrow")
          .limit(mention_broadcast_max + 1).to_pandas())
     if len(m) > mention_broadcast_max:
         return None
-    mentions: dict = {}
-    if len(m):
-        ms = (m.sort_values(["conv_id", "_key", "_name"])
-              .drop_duplicates(["conv_id", "_key"], keep="last"))
-        for conv, g in ms.groupby("conv_id", sort=False):
-            mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+    mentions = _index_from_mentions(m)
     ment_ref = ray.put(mentions)
 
     def resolve_map(batch: pa.Table) -> pa.Table:
@@ -164,7 +201,8 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
                           num_buckets: int = 64,
                           conv_filter_max: int = 2_000_000,
                           mention_broadcast_max: int = 2_000_000,
-                          materialize_input: bool = True) -> "ray.data.Dataset":
+                          materialize_input: bool = True,
+                          conv_set: set | None = None) -> "ray.data.Dataset":
     """Edge dataset → same dataset with pronoun arguments resolved to
     their conversation antecedent; unresolvable pronoun edges are
     dropped.  Fast path: if no edge has a pronoun argument the input is
@@ -201,20 +239,25 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
         [(n, t) for n, t in zip(sch.names, sch.types) if n != "_pron"])
     pron = tagged.filter(expr="_pron == True").drop_columns(["_pron"])
     non_pron = tagged.filter(expr="_pron == False").drop_columns(["_pron"])
-    # ONE driver barrier for emptiness check + pron-conv set: pron is
-    # edge-fraction-small; limit() bounds the pull — if the cap is hit,
-    # skip the mention filter (correct either way, just more rows)
-    conv_pdf = (pron.select_columns(["conv_id"])
-                .limit(conv_filter_max + 1).to_pandas())
-    if conv_pdf.empty or "conv_id" not in conv_pdf.columns:
-        return non_pron  # no pronoun edges anywhere (schema-less empty)
-    conv_sample = conv_pdf["conv_id"]
-    conv_set = (set(conv_sample) if len(conv_sample) <= conv_filter_max
-                else None)
+    if conv_set is None:
+        # ONE driver barrier for emptiness check + pron-conv set: pron is
+        # edge-fraction-small; limit() bounds the pull — if the cap is
+        # hit, skip the mention filter (correct either way, just more rows)
+        conv_pdf = (pron.select_columns(["conv_id"])
+                    .limit(conv_filter_max + 1).to_pandas())
+        if conv_pdf.empty or "conv_id" not in conv_pdf.columns:
+            return non_pron  # no pronoun edges anywhere (schema-less empty)
+        conv_sample = conv_pdf["conv_id"]
+        conv_set = (set(conv_sample) if len(conv_sample) <= conv_filter_max
+                    else None)
+    elif not conv_set:
+        return non_pron  # caller established there are no pronoun edges
+    elif len(conv_set) > conv_filter_max:
+        conv_set = None  # too large to broadcast — skip the mention filter
     conv_ref = ray.put(conv_set)
 
     if conv_set is not None and mention_broadcast_max > 0:
-        resolved = _resolve_broadcast(tagged, pron, non_pron, conv_ref,
+        resolved = _resolve_broadcast(tagged, pron, conv_ref,
                                       edge_cols, arrow_schema,
                                       mention_broadcast_max)
         if resolved is not None:
@@ -225,34 +268,10 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
 
     def mention_rows(batch: pa.Table) -> pa.Table:
         """Slim (conv_id, _key, _name) PERSON mention events for
-        pronoun-bearing conversations, padded to the union schema
-        (other columns null)."""
-        convs = ray.get(conv_ref)
-        if convs is not None:
-            s = batch.column("conv_id")
-            if isinstance(s, pa.ChunkedArray):
-                s = s.combine_chunks()
-            keep = pd.Series(s.to_pandas()).isin(convs).to_numpy()
-            batch = batch.filter(pa.array(keep))
-        parts = []
-        for flag, (col, tcol) in enumerate((("subj", "subj_type"),
-                                            ("obj", "obj_type"))):
-            mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                           pc.invert(_pron_col_mask(batch, col, tcol)))
-            sel = batch.filter(mask)
-            if sel.num_rows == 0:
-                continue
-            key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
-                                             pa.int64()), 2), flag)
-            parts.append(pa.table({"conv_id": sel.column("conv_id"),
-                                   "_key": key,
-                                   "_name": sel.column(col)}))
-        if not parts:
-            t = pa.table({"conv_id": pa.array([], pa.string()),
-                          "_key": pa.array([], pa.int64()),
-                          "_name": pa.array([], pa.string())})
-        else:
-            t = pa.concat_tables(parts)
+        pronoun-bearing conversations (from all edge rows, including the
+        non-pronoun column of pronoun-bearing ones), padded to the union
+        schema (other columns null)."""
+        t = _mention_partial(batch, ray.get(conv_ref))
         for c in edge_cols:
             if c != "conv_id":
                 typ = batch.schema.field(c).type
@@ -264,7 +283,8 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
                   .append_column("_name", pa.nulls(batch.num_rows, pa.string())))
         return t.select(all_cols)
 
-    combined = (non_pron.map_batches(mention_rows, batch_format="pyarrow")
+    combined = (tagged.drop_columns(["_pron"])
+                .map_batches(mention_rows, batch_format="pyarrow")
                 .union(pron.map_batches(pron_rows, batch_format="pyarrow")))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -368,15 +388,18 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
 
 
 def build_link_state(edges: "ray.data.Dataset"):
-    """ONE pass over edges → (surname registry, canonical map).
+    """ONE pass over edges → (surname registry, canonical map, set of
+    pronoun-bearing conversations).
 
-    Emits three partial row kinds from a single map_batches —
+    Emits four partial row kinds from a single map_batches —
     R: distinct (conv, surname, full) registry rows;
-    S: non-bare surface counts; B: bare (conv, surname) counts —
+    S: non-bare surface counts; B: bare (conv, surname) counts;
+    P: distinct conversations with a pronoun argument (consumed by the
+    fused coref rewrite, so no separate tag/filter barrier is needed) —
     reduces them in one bucketed aggregate, and finishes on the driver
     (registry from R; canon counts = S + registry-resolved B).
-    Pronoun surfaces are excluded from all three kinds (they are
-    resolved by the separate ``resolve_pronoun_edges`` pass)."""
+    Pronoun surfaces are excluded from R/S/B (they are resolved by the
+    coref rewrite)."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -384,11 +407,23 @@ def build_link_state(edges: "ray.data.Dataset"):
     def partial(batch: pa.Table) -> pa.Table:
         kinds, k1s, k2s, ns = [], [], [], []
         seen_r: set[tuple[str, str]] = set()
+        seen_p: set[str] = set()
         for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
             vals = batch.column(col).combine_chunks()
             is_person = pc.equal(batch.column(tcol), "PERSON")
             is_pron = pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR)
             is_name = pc.and_(is_person, pc.invert(is_pron))
+            # P rows: conversations with a PERSON-typed pronoun argument
+            selp = batch.filter(pc.and_(is_person, is_pron))
+            if selp.num_rows:
+                for c in pc.unique(selp.column("conv_id").combine_chunks()
+                                   ).to_pylist():
+                    if c not in seen_p:
+                        seen_p.add(c)
+                        kinds.append("P")
+                        k1s.append(c)
+                        k2s.append("")
+                        ns.append(1)
             has_space = pc.match_substring(vals, " ")
             full_mask = pc.and_(is_name, has_space)
             bare_mask = pc.and_(is_name, pc.invert(has_space))
@@ -433,7 +468,7 @@ def build_link_state(edges: "ray.data.Dataset"):
         keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = agg.to_pandas()
     if pdf.empty or "kind" not in pdf.columns:
-        return {}, {}
+        return {}, {}, set()
 
     # registry from R rows: exactly one full per (conv, surname)
     r = pdf[pdf["kind"] == "R"].copy()
@@ -461,7 +496,8 @@ def build_link_state(edges: "ray.data.Dataset"):
         if cur is None or (-n, surface) < (-cur[0], cur[1]):
             best[norm] = (n, surface)
     canon = {norm: surf for norm, (_, surf) in best.items()}
-    return registry, canon
+    pron_convs = set(pdf.loc[pdf["kind"] == "P", "k1"])
+    return registry, canon, pron_convs
 
 
 class LinkCanonRewriter:
@@ -509,6 +545,59 @@ class LinkCanonRewriter:
         s = self._canon_col(self._link_col(batch, "subj", "subj_type"))
         o = self._canon_col(self._link_col(batch, "obj", "obj_type"))
         return batch.set_column(idx_s, "subj", s).set_column(idx_o, "obj", o)
+
+
+class FusedLinkRewriter(LinkCanonRewriter):
+    """One-pass pronoun-resolve + surname-link + canonicalize rewrite.
+
+    The round-3 headline fusion: pronoun arguments resolve map-side
+    against the broadcast antecedent index (``build_mention_index``);
+    unresolvable pronoun edges are dropped; the resolved batch then goes
+    through the fused link + canonical rewrite.  Replaces the
+    tag → filter → resolve → union → rewrite chain with a SINGLE
+    consumer scan of the materialized raw edges."""
+
+    def __init__(self, registry_ref, canon_ref, ment_ref=None):
+        super().__init__(registry_ref, canon_ref)
+        self.mentions = (ray.get(ment_ref)
+                         if isinstance(ment_ref, ray.ObjectRef)
+                         else (ment_ref or {}))
+
+    def _resolve_pron(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m_any = pc.or_(_pron_col_mask(batch, "subj", "subj_type"),
+                       _pron_col_mask(batch, "obj", "obj_type"))
+        if not pc.any(m_any).as_py():
+            return batch
+        plain = batch.filter(pc.invert(m_any))
+        df = batch.filter(m_any).to_pandas()
+        keep = np.ones(len(df), dtype=bool)
+        convs = df["conv_id"].to_numpy()
+        turns = df["turn_idx"].to_numpy()
+        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+            vals = df[col].to_numpy().copy()
+            is_pron = ((df[tcol] == "PERSON")
+                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
+            for i in np.flatnonzero(is_pron):
+                name = _antecedent(self.mentions.get(convs[i]), int(turns[i]))
+                if name is None:
+                    keep[i] = False
+                else:
+                    vals[i] = name
+            df[col] = vals
+        df = df[keep]
+        if not len(df):
+            return plain
+        res = pa.Table.from_pandas(df[batch.column_names],
+                                   preserve_index=False)
+        cols = [pc.cast(res.column(c), batch.schema.field(c).type)
+                for c in batch.column_names]
+        res = pa.Table.from_arrays(cols, schema=batch.schema)
+        return pa.concat_tables([plain, res])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return super().__call__(self._resolve_pron(batch))
 
 
 def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:

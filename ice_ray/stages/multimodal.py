@@ -1,14 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image path is REAL for uncompressed formats — a pure-numpy decoder
-for PPM (P6) and 24-bit uncompressed BMP, nearest-neighbor resize, and
-an 8×8 luminance-grid feature embedding — so decode → resize → embed →
-dedup/similarity runs end-to-end on actual pixels with no external
-libraries.  Compressed formats (JPEG/PNG) and audio/video decoding need
-PIL/ffmpeg, which are not in this container: those payloads fall back to
-deterministic digest-seeded fake features (``mode="fake"``), or raise
-with ``mode="strict"`` to mark the boundary explicitly.
+The image path is REAL for PPM (P6), 24-bit uncompressed BMP, and
+8-bit non-interlaced PNG (stdlib zlib inflate + scanline unfiltering,
+filters 0–4) — decode → resize → embed → dedup/similarity runs
+end-to-end on actual pixels with no external libraries.  JPEG and
+audio/video decoding need PIL/ffmpeg, which are not in this container:
+those payloads fall back to deterministic digest-seeded fake features
+(``mode="fake"``), or raise with ``mode="strict"`` to mark the boundary
+explicitly.
 
 Batch-size guidance (SURVEY §7 'wide rows'): with payloads of ~1 MB keep
 ``batch_size`` ≤ 64 so batch × concurrency stays inside a worker heap.
@@ -46,26 +46,35 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     return None
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray | None:
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> raster
+    # Truncated/malformed headers (b"P6", comment-only, non-digit fields)
+    # return None — decode_image's contract — instead of raising.
     pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos:pos + 1].isspace():
-            pos += 1
-        if payload[pos:pos + 1] == b"#":            # comment line
-            while pos < len(payload) and payload[pos] != 0x0A:
+    try:
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos:pos + 1].isspace():
                 pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos:pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
+            if pos >= len(payload):
+                return None  # header truncated
+            if payload[pos:pos + 1] == b"#":            # comment line
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    except ValueError:
+        return None  # non-numeric header field
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
-    if maxval != 255:
+    if maxval != 255 or w <= 0 or h <= 0:
         return None
     need = w * h * 3
     raster = payload[pos:pos + need]
@@ -93,6 +102,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
         return None  # compressed / paletted BMP → external libs
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        return None  # malformed dimensions (negative/zero width)
     row_bytes = (w * 3 + 3) & ~3
     need = row_bytes * h
     raster = payload[data_off:data_off + need]
@@ -116,6 +127,107 @@ def encode_bmp(img: np.ndarray) -> bytes:
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
                        2835, 2835, 0, 0)
     return header + info + body
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, RGB, RGBA
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0–4).  Row-sequential by
+    spec; per-row work is numpy except Sub/Paeth's pixel recurrence."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ftype, line = int(rows[y, 0]), rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:      # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:      # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:      # Average
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:      # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                p = a + b - c
+                pa_, pb, pcb = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pcb) else (b if pb <= pcb else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError("bad PNG filter type")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    """Pure-python PNG decode (stdlib zlib inflate + scanline
+    unfiltering) → H×W×3 uint8 RGB.  Supports 8-bit greyscale / RGB /
+    RGBA, non-interlaced — the common fixture shapes; anything else
+    (16-bit, palette, interlaced, malformed) returns None."""
+    import zlib
+
+    try:
+        pos, idat, ihdr = 8, [], None
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data[:13])
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        ch = _PNG_CHANNELS.get(color)
+        if (depth != 8 or ch is None or comp != 0 or filt != 0
+                or interlace != 0 or w <= 0 or h <= 0):
+            return None
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            return None
+        px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+        if ch == 1:
+            return np.repeat(px, 3, axis=2)
+        return px[:, :, :3].copy()
+    except (zlib.error, ValueError, struct.error):
+        return None
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB → PNG (8-bit RGB, filter 0, one IDAT) — the
+    fixture encoder proving the decode path round-trips real pixels."""
+    import zlib
+
+    h, w = img.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = np.concatenate(
+        [np.zeros((h, 1), np.uint8),
+         img.astype(np.uint8).reshape(h, w * 3)], axis=1).tobytes()
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b""))
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

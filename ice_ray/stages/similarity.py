@@ -69,12 +69,16 @@ class CosineScorer:
         denom[denom == 0] = 1.0
         cos = np.round((m @ self.q) / denom, 6)
         vec_id = batch.column("vec_id")
+        if isinstance(vec_id, pa.ChunkedArray):
+            vec_id = vec_id.combine_chunks()
         if self.top_k is not None and len(cos) > self.top_k:
             vids = np.asarray(vec_id.to_pylist())
-            # exact per-batch order: cosine desc, vec_id asc (tie-safe)
+            # exact per-batch order: cosine desc, vec_id asc (tie-safe);
+            # take() preserves the input column type so truncated and
+            # pass-through batches emit one schema
             order = np.lexsort((vids, -cos))[:self.top_k]
             cos = cos[order]
-            vec_id = pa.array(vids[order], pa.int64())
+            vec_id = vec_id.take(pa.array(order))
         return pa.table({
             "vec_id": vec_id,
             "cosine": pa.array(cos, pa.float64()),

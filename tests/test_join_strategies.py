@@ -63,3 +63,82 @@ def test_asof_join_broadcast_equals_shuffle(ray_session):
     ca = _canon(a.to_pandas(), ["event_id"])
     cb = _canon(b.to_pandas(), ["event_id"])
     pd.testing.assert_frame_equal(ca, cb)
+    # a salted shuffle (hot-key splitting) must be output-identical
+    c = asof_join(events, day, on="user_id", left_ts="ts",
+                  right_ts="o_orderdate", strategy="shuffle", salt=4)
+    pd.testing.assert_frame_equal(ca, _canon(c.to_pandas(), ["event_id"]))
+
+
+def test_asof_broadcast_gate_is_byte_aware(ray_session):
+    """A right side under the row cap but over the BYTE cap must take
+    the shuffle path (and produce identical output)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import _asof_broadcast, asof_join
+
+    n = 200
+    wide = pa.table({
+        "key": pa.array([i % 10 for i in range(n)], pa.int64()),
+        "rts": pa.array(np.arange(n), pa.int64()),
+        "payload": pa.array(["x" * 100_000] * n),   # ~20 MB total
+    })
+    left = pa.table({
+        "key": pa.array([i % 10 for i in range(50)], pa.int64()),
+        "lts": pa.array(np.arange(50) * 7, pa.int64()),
+    })
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(wide)
+    # byte cap below payload size → broadcast attempt must bail out
+    assert _asof_broadcast(lds, rds, "key", "lts", "rts", "_r",
+                           broadcast_max_rows=1000,
+                           broadcast_max_bytes=1 << 20) is None
+    a = asof_join(lds, rds, on="key", left_ts="lts", right_ts="rts",
+                  broadcast_max_bytes=1 << 20)       # → shuffle path
+    b = asof_join(lds, rds, on="key", left_ts="lts", right_ts="rts")
+    pd.testing.assert_frame_equal(_canon(a.to_pandas(), ["key", "lts"]),
+                                  _canon(b.to_pandas(), ["key", "lts"]))
+
+
+def test_jaccard_verify_gate_is_byte_aware(ray_session):
+    """Wide documents under the doc-count cap but over the byte cap take
+    the keyed-join text-attach path; results match the broadcast path."""
+    import pyarrow as pa
+
+    from ice_ray.stages.dedup import minhash_neardup_pairs_exact
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            * 2000)                                   # ~100 KB per doc
+    docs = [base, base + " lambda", "completely different words here " * 50,
+            base, base + " mu nu"]
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs)})
+    ds = ray.data.from_arrow(tbl)
+    a = (minhash_neardup_pairs_exact(ds, broadcast_max_bytes=64 << 10)
+         .to_pandas())                                # forced join path
+    b = minhash_neardup_pairs_exact(ds).to_pandas()   # broadcast path
+    key = ["id1", "id2"]
+    pd.testing.assert_frame_equal(_canon(a, key), _canon(b, key))
+    assert len(a) > 0
+
+
+def test_salted_hash_join_equals_unsalted(ray_session):
+    """One key holding half the left rows: salt=8 sprays it across
+    bounded sub-buckets and the join output is identical."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import bucketed_hash_join
+
+    n = 20_000
+    hot = np.zeros(n // 2, dtype=np.int64)            # 50% one key
+    cold = np.arange(1, n // 2 + 1, dtype=np.int64)
+    keys = np.concatenate([hot, cold])
+    left = pa.table({"k": pa.array(keys),
+                     "v": pa.array(np.arange(n, dtype=np.int64))})
+    right = pa.table({"k": pa.array(np.arange(0, n // 2 + 1, dtype=np.int64)),
+                      "w": pa.array(np.arange(0, n // 2 + 1, dtype=np.int64) * 3)})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+    a = bucketed_hash_join(lds, rds, "k", "k", num_buckets=8).to_pandas()
+    b = bucketed_hash_join(lds, rds, "k", "k", num_buckets=8,
+                           salt=8).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a, ["k", "v"]), _canon(b, ["k", "v"]))

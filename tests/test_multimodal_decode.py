@@ -31,7 +31,88 @@ def test_codec_roundtrip_ppm_bmp():
     img = _gradient()
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
-    assert decode_image(b"\x89PNG compressed") is None  # needs PIL
+    assert decode_image(b"\x89PNG compressed") is None  # bad signature
+
+
+def test_codec_roundtrip_png():
+    from ice_ray.stages.multimodal import encode_png
+
+    img = _gradient(33, 17)  # odd width exercises stride handling
+    assert np.array_equal(decode_image(encode_png(img)), img)
+
+
+def test_png_all_filter_types():
+    """Hand-built PNG rasters with Sub/Up/Average/Paeth filters decode
+    to the same pixels as the filter-0 encoding (spec filters 1–4)."""
+    import struct
+    import zlib
+
+    from ice_ray.stages.multimodal import _PNG_SIG
+
+    img = _gradient(13, 9)
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * 3).astype(np.int32)
+
+    def filt_row(y, ftype):
+        cur, prev = flat[y], (flat[y - 1] if y else np.zeros(w * 3, np.int32))
+        if ftype == 0:
+            out = cur.copy()
+        elif ftype == 1:
+            out = cur.copy()
+            out[3:] = (cur[3:] - cur[:-3]) % 256
+        elif ftype == 2:
+            out = (cur - prev) % 256
+        elif ftype == 3:
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            out = (cur - ((a + prev) >> 1)) % 256
+        else:  # Paeth
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            c = np.concatenate([np.zeros(3, np.int32), prev[:-3]]) if y \
+                else np.zeros(w * 3, np.int32)
+            p = a + prev - c
+            pa_, pb, pcd = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa_ <= pb) & (pa_ <= pcd), a,
+                            np.where(pb <= pcd, prev, c))
+            out = (cur - pred) % 256
+        return bytes([ftype]) + out.astype(np.uint8).tobytes()
+
+    raster = b"".join(filt_row(y, (y % 5)) for y in range(h))
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raster))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_image(payload), img)
+
+
+def test_malformed_payloads_return_none():
+    """decode_image's contract: undecodable → None, never an exception
+    (a bad row must not kill the whole stage)."""
+    import struct
+
+    bad = [
+        b"P6",                                   # truncated PPM header
+        b"P6 # comment only",                    # comment, missing fields
+        b"P6 3 x 255 ",                          # non-numeric field
+        b"P6 -3 4 255 " + b"\0" * 64,            # negative width
+        b"P6 2 2 255 \0\0\0",                    # short raster
+        b"\x89PNG\r\n\x1a\n" + b"\0" * 4,        # truncated PNG
+        b"\x89PNG\r\n\x1a\nbadchunks!!",         # garbage chunks
+    ]
+    # BMP with negative width
+    neg = bytearray(encode_bmp(_gradient(4, 4)))
+    struct.pack_into("<i", neg, 18, -4)
+    bad.append(bytes(neg))
+    # BMP with data offset past the payload
+    off = bytearray(encode_bmp(_gradient(4, 4)))
+    struct.pack_into("<I", off, 10, 10_000)
+    bad.append(bytes(off))
+    for payload in bad:
+        assert decode_image(payload) is None, payload[:20]
 
 
 def test_resize_and_features_from_pixels():
