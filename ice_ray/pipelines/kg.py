@@ -120,12 +120,6 @@ def dedup_edges(edges: "ray.data.Dataset",
     return agg.map_batches(split_src, batch_format="pyarrow")
 
 
-def _pool_max() -> int:
-    try:
-        return max(2, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        return 8
-
 
 def canonicalize_edges(edges: "ray.data.Dataset",
                        strategy: str = "broadcast") -> "ray.data.Dataset":
@@ -150,6 +144,8 @@ def canonicalize_edges(edges: "ray.data.Dataset",
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     edges = edges.repartition(ncpu * 2).materialize()
+    from ..stages.linker import make_cached_rewriter
+
     if strategy == "shuffle":
         # conversation-scoped pronoun coreference first (a bare-surname
         # antecedent is resolved by the rewrite below — same fixpoint);
@@ -159,10 +155,8 @@ def canonicalize_edges(edges: "ray.data.Dataset",
         linked = link_edges_by_conversation(combined).materialize()
         canon = build_canonical_map(linked)
         return linked.map_batches(
-            CanonicalRewriter,
-            fn_constructor_kwargs={"canon_ref": ray.put(canon)},
+            make_cached_rewriter(CanonicalRewriter, ray.put(canon)),
             batch_format="pyarrow",
-            concurrency=(1, _pool_max()),
         )
     from ..stages.linker import (
         FusedLinkRewriter,
@@ -172,16 +166,34 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     )
 
     # fused fast path: ONE aggregate pass builds registry + canonical map
-    # + the pron-conv set; ONE (pron-conv-filtered) pass pulls the
-    # antecedent index; ONE rewrite pass resolves pronouns, links bare
-    # surnames and canonicalizes — no tag/filter/union re-scans.
-    # Registry/canon come from the raw edges: pronoun surfaces are
-    # excluded there, and resolved pronoun mentions only repeat names
-    # already present in their conversation's edges — identical state.
-    registry, canon, pron_convs = build_link_state(edges)
+    # + the pron-conv set; ONE pass pulls the antecedent index; ONE
+    # rewrite pass resolves pronouns, links bare surnames and
+    # canonicalizes — no tag/filter/union re-scans.  The two driver
+    # barriers are independent (the mention pull runs unfiltered,
+    # capped), so they execute CONCURRENTLY over the materialized edges
+    # and the phase costs overlap.  Registry/canon come from the raw
+    # edges: pronoun surfaces are excluded there, and resolved pronoun
+    # mentions only repeat names already present in their conversation's
+    # edges — identical state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..stages.linker import _index_from_mentions, pull_mention_rows
+
+    with ThreadPoolExecutor(2) as ex:
+        f_state = ex.submit(build_link_state, edges)
+        f_ment = ex.submit(pull_mention_rows, edges, None)
+        registry, canon, pron_convs = f_state.result()
+        m_all = f_ment.result()
     mentions = {}
     if pron_convs:
-        mentions = build_mention_index(edges, pron_convs)
+        if m_all is not None:
+            # filter to pronoun-bearing conversations BEFORE the per-conv
+            # index build (the index loop is conv-count-bounded)
+            mentions = _index_from_mentions(
+                m_all[m_all["conv_id"].isin(pron_convs)])
+        else:
+            # speculative unfiltered pull overflowed — retry filtered
+            mentions = build_mention_index(edges, pron_convs)
         if mentions is None:
             # antecedent index exceeds the broadcast cap — fall back to
             # the bucketed mention exchange, then link + canonicalize
@@ -189,19 +201,16 @@ def canonicalize_edges(edges: "ray.data.Dataset",
                                              mention_broadcast_max=0,
                                              conv_set=pron_convs)
             return combined.map_batches(
-                LinkCanonRewriter,
-                fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                                       "canon_ref": ray.put(canon)},
+                make_cached_rewriter(LinkCanonRewriter, ray.put(registry),
+                                     ray.put(canon)),
                 batch_format="pyarrow",
-                concurrency=(1, _pool_max()),
             )
+    # task-based rewrite (cheap init): fuses with the downstream dedup
+    # combiner into one pass over the materialized raw edges
     return edges.map_batches(
-        FusedLinkRewriter,
-        fn_constructor_kwargs={"registry_ref": ray.put(registry),
-                               "canon_ref": ray.put(canon),
-                               "ment_ref": ray.put(mentions)},
+        make_cached_rewriter(FusedLinkRewriter, ray.put(registry),
+                             ray.put(canon), ray.put(mentions)),
         batch_format="pyarrow",
-        concurrency=(1, _pool_max()),
     )
 
 

@@ -134,12 +134,16 @@ def _index_from_mentions(m: pd.DataFrame) -> dict:
     return mentions
 
 
-def build_mention_index(edges: "ray.data.Dataset", conv_set: set,
-                        mention_broadcast_max: int = 2_000_000):
-    """ONE pass over the (materialized) raw edges → broadcastable
-    antecedent index for the pronoun-bearing conversations.  Returns
-    None when the pull would exceed ``mention_broadcast_max`` rows —
-    the caller falls back to the bucketed mention exchange."""
+def pull_mention_rows(edges: "ray.data.Dataset", conv_set: set | None,
+                      mention_broadcast_max: int = 2_000_000):
+    """ONE pass over the (materialized) raw edges → slim
+    (conv_id, _key, _name) mention rows as a pandas frame
+    (``conv_set=None`` skips the filter — the speculative pull that
+    overlaps the link-state aggregate; the caller filters to
+    pronoun-bearing conversations BEFORE building the per-conv index).
+    Returns None when the pull would exceed ``mention_broadcast_max``
+    rows — the caller falls back to a filtered retry or the bucketed
+    mention exchange."""
     conv_ref = ray.put(conv_set)
 
     def mention_lite(batch: pa.Table) -> pa.Table:
@@ -149,7 +153,14 @@ def build_mention_index(edges: "ray.data.Dataset", conv_set: set,
          .limit(mention_broadcast_max + 1).to_pandas())
     if len(m) > mention_broadcast_max:
         return None
-    return _index_from_mentions(m)
+    return m
+
+
+def build_mention_index(edges: "ray.data.Dataset", conv_set: set | None,
+                        mention_broadcast_max: int = 2_000_000):
+    """pull_mention_rows + per-conv index build; None on cap overflow."""
+    m = pull_mention_rows(edges, conv_set, mention_broadcast_max)
+    return None if m is None else _index_from_mentions(m)
 
 
 def _resolve_broadcast(tagged, pron, conv_ref, edge_cols,
@@ -404,10 +415,23 @@ def build_link_state(edges: "ray.data.Dataset"):
 
     from ..functions.shuffle import grouped_aggregate
 
+    def _rows(kind, k1, k2, n) -> pa.Table:
+        m = len(k1)
+        return pa.table({
+            "kind": pa.array([kind] * m, pa.string()),
+            "k1": pc.cast(k1, pa.string()) if not isinstance(k1, list)
+            else pa.array(k1, pa.string()),
+            "k2": (pa.array([k2] * m, pa.string()) if isinstance(k2, str)
+                   else pc.cast(k2, pa.string())),
+            "n": (pa.array([1] * m, pa.int64()) if n is None
+                  else pc.cast(n, pa.int64())),
+        })
+
     def partial(batch: pa.Table) -> pa.Table:
-        kinds, k1s, k2s, ns = [], [], [], []
-        seen_r: set[tuple[str, str]] = set()
-        seen_p: set[str] = set()
+        # fully vectorized: per-column masks, value_counts/unique for the
+        # distinct/count reductions, pandas str kernels only on the
+        # (bounded) per-batch uniques — no per-row Python
+        tables = []
         for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
             vals = batch.column(col).combine_chunks()
             is_person = pc.equal(batch.column(tcol), "PERSON")
@@ -416,52 +440,50 @@ def build_link_state(edges: "ray.data.Dataset"):
             # P rows: conversations with a PERSON-typed pronoun argument
             selp = batch.filter(pc.and_(is_person, is_pron))
             if selp.num_rows:
-                for c in pc.unique(selp.column("conv_id").combine_chunks()
-                                   ).to_pylist():
-                    if c not in seen_p:
-                        seen_p.add(c)
-                        kinds.append("P")
-                        k1s.append(c)
-                        k2s.append("")
-                        ns.append(1)
+                pconvs = pc.unique(selp.column("conv_id").combine_chunks())
+                tables.append(_rows("P", pconvs, "", None))
             has_space = pc.match_substring(vals, " ")
             full_mask = pc.and_(is_name, has_space)
             bare_mask = pc.and_(is_name, pc.invert(has_space))
-            # R rows (distinct within batch)
+            # R rows: distinct (conv, full name); surname split runs on
+            # the batch uniques only
             sel = batch.filter(full_mask)
-            for c, v in zip(sel.column("conv_id").to_pylist(),
-                            sel.column(col).to_pylist()):
-                if (c, v) not in seen_r:
-                    seen_r.add((c, v))
-                    kinds.append("R")
-                    k1s.append(c)
-                    k2s.append(v.rsplit(" ", 1)[1] + "\x01" + v)
-                    ns.append(1)
+            if sel.num_rows:
+                key = pc.binary_join_element_wise(
+                    sel.column("conv_id"), sel.column(col), "\x01")
+                uniq = pd.Series(pc.unique(key.combine_chunks()).to_pandas())
+                parts = uniq.str.split("\x01", n=1, expand=True)
+                full = parts[1]
+                k2 = (full.str.rsplit(" ", n=1).str[-1] + "\x01" + full)
+                tables.append(_rows("R", pa.Array.from_pandas(parts[0]),
+                                    pa.Array.from_pandas(k2), None))
             # S rows: everything that is not a bare PERSON name/pronoun
             # (empty strings — e.g. the obj slot of @MENTION pseudo-edges
             # — carry no surface and are excluded)
             skip = pc.or_(pc.or_(bare_mask, is_pron), pc.equal(vals, ""))
-            for vc in pc.value_counts(pc.drop_null(
-                    pc.if_else(skip, pa.nulls(len(vals), pa.string()), vals))):
-                kinds.append("S")
-                k1s.append(vc["values"].as_py())
-                k2s.append("")
-                ns.append(vc["counts"].as_py())
+            vc = pc.value_counts(pc.drop_null(
+                pc.if_else(skip, pa.nulls(len(vals), pa.string()),
+                           vals)).combine_chunks())
+            if len(vc):
+                tables.append(_rows("S", vc.field("values"), "",
+                                    vc.field("counts")))
             # B rows: bare surname counts per conversation
             selb = batch.filter(bare_mask)
             if selb.num_rows:
                 key = pc.binary_join_element_wise(
                     selb.column("conv_id"), selb.column(col), "\x01")
-                for vc in pc.value_counts(key.combine_chunks()):
-                    kinds.append("B")
-                    c, v = vc["values"].as_py().split("\x01", 1)
-                    k1s.append(c)
-                    k2s.append(v)
-                    ns.append(vc["counts"].as_py())
-        return pa.table({"kind": pa.array(kinds, pa.string()),
-                         "k1": pa.array(k1s, pa.string()),
-                         "k2": pa.array(k2s, pa.string()),
-                         "n": pa.array(ns, pa.int64())})
+                vc = pc.value_counts(key.combine_chunks())
+                s = pd.Series(vc.field("values").to_pandas())
+                parts = s.str.split("\x01", n=1, expand=True)
+                tables.append(_rows("B", pa.Array.from_pandas(parts[0]),
+                                    pa.Array.from_pandas(parts[1]),
+                                    vc.field("counts")))
+        if not tables:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "k1": pa.array([], pa.string()),
+                             "k2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tables)
 
     agg = grouped_aggregate(
         edges.map_batches(partial, batch_format="pyarrow"),
@@ -598,6 +620,30 @@ class FusedLinkRewriter(LinkCanonRewriter):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return super().__call__(self._resolve_pron(batch))
+
+
+_REWRITER_CACHE: dict = {}
+
+
+def make_cached_rewriter(cls, *refs):
+    """Task-based ``map_batches`` function that builds ``cls(*refs)``
+    once per worker process (module-level cache keyed by the broadcast
+    ObjectRefs).  Rewrite stages are cheap-init/cheap-call, so a plain
+    function keeps Ray's operator fusion with the surrounding maps —
+    an actor pool here pays pool startup AND breaks fusion (round-2
+    perf lesson, NOTES.md)."""
+    key = (cls.__name__,) + tuple(
+        r.hex() if hasattr(r, "hex") else str(id(r)) for r in refs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rw = _REWRITER_CACHE.get(key)
+        if rw is None:
+            if len(_REWRITER_CACHE) > 8:
+                _REWRITER_CACHE.clear()
+            rw = cls(*refs)
+            _REWRITER_CACHE[key] = rw
+        return rw(batch)
+    return fn
 
 
 def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
