@@ -563,18 +563,157 @@ def gold_knn_multi(sf_dir: str, k: int = 5) -> pd.DataFrame:
                                       "cosine": "float64"})
 
 
-def gold_docs_rowwise(sf_dir: str) -> dict[str, pd.DataFrame]:
-    """Row-wise doc stats: run the SAME batch kernels on the whole table
-    as one serial batch."""
-    from .stages.dedup import SimHasher
-    from .stages.textstats import LangId, bpe_token_stats, quality_score
+# --- independent second implementations (round-3 oracle-rigor widening)
+# The four docs row-wise golds below re-derive their stats FROM THE SPEC
+# with different code paths — pure-python bit arithmetic instead of
+# numpy pack/unpack (simhash), character scanners instead of the regexes
+# (tokenizers, the BPE-ish pre-tokenizer) — not by calling the stage
+# kernels, so a buggy kernel can no longer agree with its own gold.
 
+def _scan_runs(text: str, digits: bool) -> list[str]:
+    """``[a-z]+`` (digits=False) / ``[a-z0-9]+`` (digits=True) runs of
+    the lowercased text, without regex."""
+    out, cur = [], []
+    for ch in text.lower():
+        if "a" <= ch <= "z" or (digits and "0" <= ch <= "9"):
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+def _simhash64_bitlevel(text: str) -> int:
+    """64-bit SimHash from the spec (md5-first-8-bytes little-endian
+    feature hash, MSB-first bit unpacking, majority vote, MSB-first
+    repacking, little-endian integer) in pure-python int ops."""
+    counts = [0] * 64
+    for tok in _scan_runs(text or "", digits=True):
+        d = hashlib.md5(tok.encode()).digest()
+        for bi in range(8):
+            byte = d[bi]
+            for j in range(8):
+                counts[bi * 8 + j] += 1 if (byte >> (7 - j)) & 1 else -1
+    val = 0
+    for k in range(8):
+        b = 0
+        for j in range(8):
+            b = (b << 1) | (1 if counts[k * 8 + j] > 0 else 0)
+        val |= b << (8 * k)
+    return val
+
+
+_BPE_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _bpe_count_scan(text: str) -> int:
+    """Token count of the GPT-2-style pre-tokenizer pattern
+    ``'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|
+    \\s+(?!\\S)|\\s+`` as a regex-free character scanner (alternation
+    order and the trailing-space backtrack reproduced explicitly)."""
+    def is_alpha(c):
+        return "a" <= c <= "z" or "A" <= c <= "Z"
+
+    def is_digit(c):
+        return "0" <= c <= "9"
+
+    n, i, count = len(text), 0, 0
+    while i < n:
+        c = text[i]
+        if c == "'":
+            hit = next((s for s in _BPE_CONTRACTIONS
+                        if text.startswith(s, i)), None)
+            if hit:
+                i += len(hit)
+                count += 1
+                continue
+        j, c2 = i, c
+        if c == " " and i + 1 < n and not text[i + 1].isspace():
+            j, c2 = i + 1, text[i + 1]
+        if not c2.isspace():
+            if is_alpha(c2):
+                i = j
+                while i < n and is_alpha(text[i]):
+                    i += 1
+            elif is_digit(c2):
+                i = j
+                while i < n and is_digit(text[i]):
+                    i += 1
+            else:
+                i = j
+                while i < n and not (text[i].isspace() or is_alpha(text[i])
+                                     or is_digit(text[i])):
+                    i += 1
+            count += 1
+            continue
+        # whitespace run: \s+(?!\S) leaves one char for the next token's
+        # optional leading space; a full run at end-of-string is one token
+        k = i
+        while k < n and text[k].isspace():
+            k += 1
+        count += 1
+        i = k if (k >= n or k - i == 1) else k - 1
+    return count
+
+
+def _quality_spec(text: str) -> float:
+    toks = _scan_runs(text or "", digits=False)
+    if not toks:
+        return 0.0
+    stop = sum(1 for t in toks if t in TERM_STOPWORDS)
+    punct = sum(1 for c in text if not c.isalnum() and not c.isspace())
+    stop_ratio = stop / len(toks)
+    punct_ratio = punct / max(len(text), 1)
+    length_ok = 1.0 if 10 <= len(toks) <= 10000 else 0.5
+    return round(length_ok * (1 - punct_ratio)
+                 * (0.5 + 0.5 * min(stop_ratio * 4, 1.0)), 6)
+
+
+def _lang_id_spec(text: str) -> str:
+    from .stages.textstats import _LANG_PROFILES  # the profile DATA is the spec
+
+    toks = set(_scan_runs(text or "", digits=False))
+    best, best_n = "und", 0
+    for lang in sorted(_LANG_PROFILES):
+        hits = sum(1 for w in _LANG_PROFILES[lang] if w in toks)
+        if hits > best_n:
+            best, best_n = lang, hits
+    return best
+
+
+def gold_docs_rowwise(sf_dir: str) -> dict[str, pd.DataFrame]:
+    """Row-wise doc stats from the independent spec implementations."""
     docs = _docs_table(sf_dir)
+    ids = docs.column("doc_id").to_pylist()
+    texts = [t or "" for t in docs.column("text").to_pylist()]
+    hashes = [_simhash64_bitlevel(t) for t in texts]
+    simhash = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "simhash": pd.Series([h - (1 << 64) if h >= (1 << 63) else h
+                              for h in hashes], dtype="int64"),
+        "bucket": pd.Series([h >> 48 for h in hashes], dtype="int64"),
+    })
+    quality = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "quality": pd.Series([_quality_spec(t) for t in texts],
+                             dtype="float64"),
+    })
+    lang_id = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "lang_pred": [_lang_id_spec(t) for t in texts],
+    })
+    bpe = pd.DataFrame({
+        "doc_id": pd.Series(ids, dtype="int64"),
+        "n_bpe_tokens": pd.Series([_bpe_count_scan(t) for t in texts],
+                                  dtype="int64"),
+    })
     return {
-        "simhash": SimHasher()(docs).to_pandas(),
-        "quality": quality_score(docs).to_pandas(),
-        "lang_id": LangId()(docs).to_pandas(),
-        "bpe_tokens": bpe_token_stats(docs).to_pandas(),
+        "simhash": simhash,
+        "quality": quality,
+        "lang_id": lang_id,
+        "bpe_tokens": bpe,
     }
 
 

@@ -179,11 +179,21 @@ def canonicalize_edges(edges: "ray.data.Dataset",
 
     from ..stages.linker import _index_from_mentions, pull_mention_rows
 
-    with ThreadPoolExecutor(2) as ex:
-        f_state = ex.submit(build_link_state, edges)
-        f_ment = ex.submit(pull_mention_rows, edges, None)
-        registry, canon, pron_convs = f_state.result()
-        m_all = f_ment.result()
+    # speculate only when the unfiltered pull CANNOT overflow: mention
+    # rows ≤ 2 × raw edge rows, and count() on the materialized edges is
+    # free metadata.  An overflowing speculative pull would waste a full
+    # scan at exactly the scale where scans are expensive.
+    mention_cap = 2_000_000
+    speculate = 2 * edges.count() <= mention_cap
+    m_all = None
+    if speculate:
+        with ThreadPoolExecutor(2) as ex:
+            f_state = ex.submit(build_link_state, edges)
+            f_ment = ex.submit(pull_mention_rows, edges, None, mention_cap)
+            registry, canon, pron_convs = f_state.result()
+            m_all = f_ment.result()
+    else:
+        registry, canon, pron_convs = build_link_state(edges)
     mentions = {}
     if pron_convs:
         if m_all is not None:
@@ -192,8 +202,8 @@ def canonicalize_edges(edges: "ray.data.Dataset",
             mentions = _index_from_mentions(
                 m_all[m_all["conv_id"].isin(pron_convs)])
         else:
-            # speculative unfiltered pull overflowed — retry filtered
-            mentions = build_mention_index(edges, pron_convs)
+            # no speculation (or it overflowed) — filtered pull
+            mentions = build_mention_index(edges, pron_convs, mention_cap)
         if mentions is None:
             # antecedent index exceeds the broadcast cap — fall back to
             # the bucketed mention exchange, then link + canonicalize

@@ -43,6 +43,37 @@ def test_gold_dirs_exist_for_driver_sfs():
 def test_all_synth_golds_present_and_nonempty():
     for name in ["kg_edges", "path_type_counts", "path_instance_counts",
                  "tree_counts", "events_decoded", "annotations", "ice_terms",
-                 "pmi_index", "bootstrap_candidates", "soft_decode"]:
+                 "pmi_index", "bootstrap_candidates",
+                 "event_bootstrap_candidates", "soft_decode"]:
         p = os.path.join(GOLD_DIR, "synth", f"{name}.parquet")
         assert pq.read_metadata(p).num_rows > 0, name
+
+
+def test_independent_spec_implementations_agree_with_kernels():
+    """The round-3 independent golds (bit-level simhash, regex-free BPE
+    scanner, spec quality/lang-id) agree with the stage kernels on
+    adversarial strings — a change to either side must break this."""
+    from ice_ray.oracle import (
+        _bpe_count_scan,
+        _lang_id_spec,
+        _quality_spec,
+        _simhash64_bitlevel,
+    )
+    from ice_ray.stages.dedup import SimHasher
+    from ice_ray.stages.textstats import _BPE_RE, _LANG_PROFILES
+
+    cases = ["", " ", "  ", "a  b", "it's", "IT'S", "don't've", "x\n\ny",
+             "  'll", "a\tb", "...", " ... ", "word1 2word", "a \n b",
+             "trailing   ", "\n", "mix'd42!!'s", "der der die und das ist",
+             "the and of to in is that", "¡hola! ¿qué? el la de que y"]
+    import numpy as np
+    for t in cases:
+        assert _bpe_count_scan(t) == len(_BPE_RE.findall(t)), repr(t)
+        assert _simhash64_bitlevel(t) == SimHasher.simhash64(t), repr(t)
+        import pyarrow as pa
+
+        from ice_ray.stages.textstats import LangId, quality_score
+        tbl = pa.table({"doc_id": pa.array([0], pa.int64()),
+                        "text": pa.array([t])})
+        assert _quality_spec(t) == quality_score(tbl)["quality"][0].as_py(), repr(t)
+        assert _lang_id_spec(t) == LangId()(tbl)["lang_pred"][0].as_py(), repr(t)
