@@ -10,6 +10,7 @@ Commands:
   index         annotations → PMI index (indexEntities)
   expand        PMI index + seeds → expanded entity set (expandEntitySet)
   bootstrap     paths + seed path → candidate patterns (bootstrapRelation)
+  event-bootstrap  trees + seed signature → candidate event patterns
   kg            transcripts → edge table (the flagship; resumable)
   refresh       incremental re-extraction after an entity-set change
   gen-corpus    write the deterministic synthetic transcripts corpus
@@ -75,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--input", required=True, help="transcripts parquet dir/file")
     sp.add_argument("--seed-path", required=True)
 
+    sp = sub.add_parser("event-bootstrap")
+    sp.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    sp.add_argument("--seed-core", required=True,
+                    help='value-stripped tree signature, e.g. '
+                         '"discuss nsubj:OTHER dobj:OTHER"')
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -127,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
             ds = ray.data.read_parquet(args.input)
             out = bootstrap_shared_args(extract_paths(ds).materialize(),
                                         [args.seed_path])
+            print(out.to_json(orient="records") if out is not None else "[]")
+        elif args.cmd == "event-bootstrap":
+            from ice_ray.pipelines.events import (
+                event_bootstrap_shared_args,
+                extract_trees,
+            )
+            ds = ray.data.read_parquet(args.input)
+            trees = extract_trees(ds, emit_args=True).materialize()
+            out = event_bootstrap_shared_args(trees, [args.seed_core])
             print(out.to_json(orient="records") if out is not None else "[]")
         elif args.cmd == "kg":
             from ice_ray.pipelines.kg import run_kg_job

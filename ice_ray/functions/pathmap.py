@@ -62,6 +62,44 @@ def find_closest_repr(repr_map: dict[str, str], repr_: str) -> tuple[str, int]:
     return best, best_d
 
 
+class ReprIndex:
+    """Length-banded nearest-repr index — the indexed variant of
+    ``find_closest_repr``.  ``levenshtein(a, b) ≥ |len(a) − len(b)|``,
+    so candidates bucketed by length can be visited in increasing
+    length-difference order and the scan stops once the band's lower
+    bound exceeds the best distance found: near matches cost O(band)
+    instead of O(vocab).  (The reference's findClosestPath is the full
+    scan, DepPathMap.java:256-302 — this matters once the repr table
+    grows past a few thousand entries.)  Tie semantics identical to
+    find_closest_repr: minimal distance, then lexicographically
+    smallest candidate."""
+
+    def __init__(self, repr_map: dict[str, str]):
+        self.by_len: dict[int, list[str]] = {}
+        for cand in repr_map:
+            self.by_len.setdefault(len(cand), []).append(cand)
+        for v in self.by_len.values():
+            v.sort()
+        self.lens = sorted(self.by_len)
+
+    def find_closest(self, repr_: str) -> tuple[str, int]:
+        key = normalize_repr(repr_)
+        n = len(key)
+        best, best_d = "", 10**9
+        if not self.lens:
+            return best, best_d
+        max_dl = max(abs(n - self.lens[0]), abs(self.lens[-1] - n))
+        for dl in range(0, max_dl + 1):
+            if dl > best_d:  # lower bound: any candidate here has d ≥ dl
+                break
+            for cl in ((n,) if dl == 0 else (n - dl, n + dl)):
+                for cand in self.by_len.get(cl, ()):
+                    d = levenshtein(key, cand)
+                    if d < best_d or (d == best_d and cand < best):
+                        best, best_d = cand, d
+        return best, best_d
+
+
 def merge_count_tables(a, b, key: str = "typed_path"):
     """Union two count datasets: counts sum, example = the shorter string,
     repr = first non-null (IceCLI merge semantics)."""

@@ -124,13 +124,21 @@ def _mention_partial(batch: pa.Table, convs) -> pa.Table:
 def _index_from_mentions(m: pd.DataFrame) -> dict:
     """(conv, _key, _name) rows → {conv: (sorted keys, names)} antecedent
     index; ties on the same (conv, _key) keep the lexicographically
-    largest name (deterministic)."""
+    largest name (deterministic).  Vectorized: one sort + boundary
+    slices instead of a pandas groupby loop — this runs serially on the
+    driver and was the dominant fixed cost at 10^5+ conversations."""
     mentions: dict = {}
     if len(m):
         ms = (m.sort_values(["conv_id", "_key", "_name"])
               .drop_duplicates(["conv_id", "_key"], keep="last"))
-        for conv, g in ms.groupby("conv_id", sort=False):
-            mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+        convs = ms["conv_id"].to_numpy()
+        keys = ms["_key"].to_numpy()
+        names = ms["_name"].to_numpy()
+        change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(convs)]])
+        mentions = {convs[s]: (keys[s:e], names[s:e])
+                    for s, e in zip(starts, ends)}
     return mentions
 
 
@@ -492,28 +500,36 @@ def build_link_state(edges: "ray.data.Dataset"):
     if pdf.empty or "kind" not in pdf.columns:
         return {}, {}, set()
 
-    # registry from R rows: exactly one full per (conv, surname)
+    # registry from R rows: exactly one full per (conv, surname); keyed
+    # by "conv\x01surname" (string keys build and probe faster than
+    # tuples at conversation counts)
     r = pdf[pdf["kind"] == "R"].copy()
-    registry: dict[tuple[str, str], str] = {}
+    registry: dict[str, str] = {}
     if len(r):
         sp = r["k2"].str.split("\x01", n=1, expand=True)
         r["surname"], r["full"] = sp[0], sp[1]
         g = r.groupby(["k1", "surname"])["full"].agg(["nunique", "first"]).reset_index()
         g = g[g["nunique"] == 1]
-        registry = dict(zip(zip(g["k1"], g["surname"]), g["first"]))
+        registry = dict(zip(g["k1"] + "\x01" + g["surname"], g["first"]))
 
-    # canonical counts: S surfaces + registry-resolved B surnames
-    from collections import Counter
-    counts: Counter = Counter()
+    # canonical counts: S surfaces + registry-resolved B surnames —
+    # vectorized (the B resolution maps through the registry as a
+    # string-keyed Series; loops below run over distinct surfaces only)
     s = pdf[pdf["kind"] == "S"]
-    for surf, n in zip(s["k1"], s["n"]):
-        counts[surf] += int(n)
+    parts = [pd.DataFrame({"surf": s["k1"].to_numpy(),
+                           "n": s["n"].to_numpy()})]
     b = pdf[pdf["kind"] == "B"]
-    for conv, surname, n in zip(b["k1"], b["k2"], b["n"]):
-        counts[registry.get((conv, surname), surname)] += int(n)
+    if len(b):
+        bkey = b["k1"] + "\x01" + b["k2"]
+        resolved = bkey.map(registry).fillna(b["k2"])
+        parts.append(pd.DataFrame({"surf": resolved.to_numpy(),
+                                   "n": b["n"].to_numpy()}))
+    counts_df = pd.concat(parts, ignore_index=True)
+    counts_df = counts_df.groupby("surf", sort=False)["n"].sum()
     best: dict[str, tuple[int, str]] = {}
-    for surface, n in counts.items():
+    for surface, n in counts_df.items():
         norm = _norm_surface(surface)
+        n = int(n)
         cur = best.get(norm)
         if cur is None or (-n, surface) < (-cur[0], cur[1]):
             best[norm] = (n, surface)
@@ -546,7 +562,8 @@ class LinkCanonRewriter:
         convs = pc.take(batch.column("conv_id"), pa.array(idx)).to_pylist()
         bvals = pc.take(vals, pa.array(idx)).to_pylist()
         reg = self.registry
-        resolved = pa.array([reg.get((c, v), v) for c, v in zip(convs, bvals)],
+        resolved = pa.array([reg.get(c + "\x01" + v, v)
+                             for c, v in zip(convs, bvals)],
                             pa.string())
         out = vals.to_numpy(zero_copy_only=False).copy()
         out[idx] = resolved.to_numpy(zero_copy_only=False)

@@ -187,3 +187,27 @@ def test_repr_lookup_and_merge(ray_session):
     row = merged[merged["typed_path"] == "PERSON -- nsubj-1:visit:dobj -- GPE"]
     assert int(row["count"].iloc[0]) == 5
     assert row["example"].iloc[0] == "B saw D"  # shorter example wins
+
+
+def test_repr_index_equals_full_scan():
+    """The length-banded ReprIndex reproduces find_closest_repr exactly
+    (distance AND lexicographic tie-break) on a synthetic vocabulary."""
+    import random
+
+    from ice_ray.functions.pathmap import ReprIndex, find_closest_repr
+
+    rng = random.Random(7)
+    words = ["met", "saw", "visited", "joined", "left", "promoted"]
+    vocab = {}
+    for i in range(300):
+        r = (f"person {rng.choice(words)} "
+             f"{'gpe' if i % 2 else 'org'}{'x' * (i % 5)}")
+        vocab[r] = f"path{i}"
+    idx = ReprIndex(vocab)
+    queries = ["person met gpe", "person visited org", "zzz", "",
+               "person promoted orgxxxx", "person saw gp",
+               "completely unrelated string of words here"]
+    for q in queries:
+        assert idx.find_closest(q) == find_closest_repr(vocab, q), q
+    # empty vocabulary degrades identically
+    assert ReprIndex({}).find_closest("x") == find_closest_repr({}, "x")
