@@ -526,6 +526,45 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(to_fp, batch_format="pyarrow")
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode → spectral features on deterministic inline WAV
+    payloads (16-bit mono sine, 8-bit stereo two-tone) plus a
+    compressed-format stub.  Gold is an INDEPENDENT implementation
+    (stdlib ``wave`` parser + explicit DFT, ice_ray/oracle.py
+    gold_audio_features); features rounded to 4 decimals on both sides
+    to erase last-ulp differences between the two spectral algorithms."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.oracle import audio_fixture_rows
+    from ice_ray.stages.multimodal import AudioFeatureExtractor
+
+    ds = ray.data.from_items(audio_fixture_rows())
+    feats = ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                           batch_size=2, concurrency=(1, 2))
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        fps, norms = [], []
+        for v in batch.column("embedding").to_pylist():
+            f = np.asarray(v, dtype=np.float32)
+            fr = np.round(f.astype(np.float64), 4).astype(np.float32)
+            fps.append(hashlib.md5(fr.tobytes()).hexdigest())
+            norms.append(round(float(np.linalg.norm(f)), 4))
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "decoded": batch.column("decoded"),
+            "duration_ms": pa.compute.cast(batch.column("duration_ms"),
+                                           pa.int64()),
+            "feat_fp": pa.array(fps, pa.string()),
+            "feat_norm": pa.array(norms, pa.float64()),
+        })
+
+    return feats.map_batches(to_fp, batch_format="pyarrow")
+
+
 def _q_soft_decode(sf_dir: str):
     """Embedding-scaled soft decode (J5+F3): the out-of-rule verb
     'resides' is recovered because it is embedding-near 'live'; the
@@ -646,6 +685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "soft_decode": _q_soft_decode,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
         "orders_sample": _q_orders_sample,
         "quality_topk": _q_quality_topk,
     }
@@ -870,6 +910,7 @@ def oracle_sql() -> dict[str, str]:
         "event_bootstrap_candidates": _gold_synth("event_bootstrap_candidates"),
         "soft_decode": _gold_synth("soft_decode"),
         "media_features": _gold_synth("media_features"),
+        "audio_features": _gold_synth("audio_features"),
         # --- gold-parquet oracles keyed by input-table content ---
         "minhash_neardup": _gold_keyed("minhash_neardup", "docs"),
         "neardup_clusters": _gold_keyed("neardup_clusters", "docs"),

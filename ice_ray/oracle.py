@@ -462,6 +462,88 @@ def gold_media_features() -> pd.DataFrame:
                                       "decoded": "bool"})
 
 
+def audio_fixture_rows() -> list[dict]:
+    """Deterministic inline audio table: a 440 Hz mono sine (16-bit),
+    a stereo two-tone (8-bit), and a compressed-format stub."""
+    from .stages.multimodal import encode_wav
+
+    t1 = np.arange(1600) / 16000.0
+    sine = 0.8 * np.sin(2 * np.pi * 440.0 * t1)
+    t2 = np.arange(640) / 8000.0
+    stereo = np.stack([0.5 * np.sin(2 * np.pi * 300.0 * t2),
+                       0.5 * np.sin(2 * np.pi * 700.0 * t2)], axis=1)
+    # 8-bit stereo fixture encoded by hand (encode_wav emits 16-bit)
+    pcm8 = ((np.clip(stereo, -1, 1) * 127.0) + 128).astype(np.uint8)
+    import struct as _s
+    body = pcm8.reshape(-1).tobytes()
+    wav8 = (b"RIFF" + _s.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                8000 * 2, 2, 8)
+            + b"data" + _s.pack("<I", len(body)) + body)
+    return [
+        {"media_id": 101, "kind": "audio", "payload": encode_wav(sine, 16000),
+         "mime": "audio/wav", "width": -1, "height": -1, "duration_ms": 100},
+        {"media_id": 102, "kind": "audio", "payload": wav8,
+         "mime": "audio/wav", "width": -1, "height": -1, "duration_ms": 80},
+        {"media_id": 103, "kind": "audio", "payload": b"ID3\x03mp3-stub",
+         "mime": "audio/mpeg", "width": -1, "height": -1, "duration_ms": 500},
+    ]
+
+
+def gold_audio_features() -> pd.DataFrame:
+    """INDEPENDENT gold: WAVs parsed with the stdlib ``wave`` module (a
+    different RIFF parser than stages/multimodal.decode_audio) and band
+    energies computed from an explicit O(n²) DFT matrix (not np.fft) —
+    agreement proves the engine's decode + rFFT path against a second
+    implementation of the same spec.  Features are rounded to 4 decimals
+    in the comparable form on both sides (the two spectral algorithms
+    agree to ~1e-10; rounding removes last-ulp float noise)."""
+    import io
+    import wave
+
+    from .stages.multimodal import FEATURE_DIM, _fake_features
+
+    rows = []
+    for r in audio_fixture_rows():
+        try:
+            with wave.open(io.BytesIO(r["payload"])) as wf:
+                nch, sw, rate, nframes = (wf.getnchannels(), wf.getsampwidth(),
+                                          wf.getframerate(), wf.getnframes())
+                raw = wf.readframes(nframes)
+            if sw == 1:
+                x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+            elif sw == 2:
+                x = np.frombuffer(raw, "<i2").astype(np.float64) / 32768
+            else:
+                raise ValueError("width")
+            mono = x.reshape(-1, nch).mean(axis=1)
+            # float32 round-trip matches the engine's decode precision
+            mono = mono.astype(np.float32).astype(np.float64)
+            n = len(mono)
+            k = np.arange(n // 2 + 1)
+            basis = np.exp(-2j * np.pi * np.outer(k, np.arange(n)) / n)
+            spec = np.abs(basis @ mono) ** 2
+            edges = np.linspace(0, len(spec), FEATURE_DIM + 1).astype(int)
+            bands = np.array([spec[a:b].sum() if b > a else 0.0
+                              for a, b in zip(edges[:-1], edges[1:])])
+            e = np.log10(bands + 1e-12)
+            f = (e - e.mean()).astype(np.float32)
+            decoded, dur = True, int(n * 1000 / rate)
+        except (wave.Error, EOFError, ValueError):
+            f = _fake_features(r["payload"])
+            decoded, dur = False, -1
+        fr = np.round(f.astype(np.float64), 4).astype(np.float32)
+        rows.append({
+            "media_id": r["media_id"],
+            "decoded": decoded,
+            "duration_ms": dur,
+            "feat_fp": hashlib.md5(fr.tobytes()).hexdigest(),
+            "feat_norm": round(float(np.linalg.norm(f)), 4),
+        })
+    return pd.DataFrame(rows).astype({"media_id": "int64", "decoded": "bool",
+                                      "duration_ms": "int64"})
+
+
 def gold_soft_decode() -> pd.DataFrame:
     """Template-derived: the embedding-near verb decodes to livesIn, the
     embedding-far verb does not."""
@@ -777,6 +859,7 @@ SYNTH_GOLD = {
     "event_bootstrap_candidates": gold_event_bootstrap_candidates,
     "soft_decode": gold_soft_decode,
     "media_features": gold_media_features,
+    "audio_features": gold_audio_features,
 }
 
 

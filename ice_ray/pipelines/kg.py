@@ -137,13 +137,20 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     """
     # edges are small relative to the turn input; materializing here keeps
     # the expensive annotate+extract stage from executing twice (once for
-    # the registry/canonical aggregates, once for the rewrite).  Coalesce
-    # first: extraction emits one small block per task, and per-block
-    # overhead would otherwise dominate every downstream shuffle.
+    # the registry/canonical aggregates, once for the rewrite).
+    # Materialize FIRST, then coalesce: a repartition placed BEFORE the
+    # materialize barrier is an all-to-all inside the streaming topology —
+    # it stalls the extract pipeline and cost ~25% of the 8M-turn wall
+    # time at 16 cpus; the same repartition on the already-materialized
+    # (small) edge table is a ~0.3s in-memory exchange.  Coalescing still
+    # matters: downstream per-batch partials duplicate per block, so 160
+    # small blocks made the link phase 3× slower than 2·ncpu blocks.
     from ..stages.linker import resolve_pronoun_edges
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    edges = edges.repartition(ncpu * 2).materialize()
+    edges = edges.materialize()
+    if edges.num_blocks() > ncpu * 2:
+        edges = edges.repartition(ncpu * 2).materialize()
     from ..stages.linker import make_cached_rewriter
 
     if strategy == "shuffle":
@@ -183,7 +190,17 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     # rows ≤ 2 × raw edge rows, and count() on the materialized edges is
     # free metadata.  An overflowing speculative pull would waste a full
     # scan at exactly the scale where scans are expensive.
+    #
+    # The filtered retry allows more rows: slim (conv, key, name) mention
+    # rows cost ~130 B each on the driver (measured, pandas deep), so the
+    # 12M-row cap bounds the transient pull at ~1.6 GB and the broadcast
+    # MentionIndex (flat int64/int32 arrays + one conv→code dict) at a
+    # fraction of that.  Beyond the cap the bucketed mention exchange
+    # (resolve_pronoun_edges) takes over — conversation-bounded driver
+    # state, like the registry, is the documented limit of the broadcast
+    # strategy; link_strategy="shuffle" is the 10^12-turn path.
     mention_cap = 2_000_000
+    mention_cap_filtered = 12_000_000
     speculate = 2 * edges.count() <= mention_cap
     m_all = None
     if speculate:
@@ -203,7 +220,8 @@ def canonicalize_edges(edges: "ray.data.Dataset",
                 m_all[m_all["conv_id"].isin(pron_convs)])
         else:
             # no speculation (or it overflowed) — filtered pull
-            mentions = build_mention_index(edges, pron_convs, mention_cap)
+            mentions = build_mention_index(edges, pron_convs,
+                                           mention_cap_filtered)
         if mentions is None:
             # antecedent index exceeds the broadcast cap — fall back to
             # the bucketed mention exchange, then link + canonicalize

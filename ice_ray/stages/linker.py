@@ -60,13 +60,101 @@ def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _antecedent(mention_entry, turn: int):
-    """Rightmost mention strictly before ``turn`` (None if none)."""
-    if mention_entry is None:
-        return None
-    keys, names = mention_entry
-    pos = int(np.searchsorted(keys, 2 * turn - 1, side="right")) - 1
-    return names[pos] if pos >= 0 else None
+_KEY_SHIFT = np.int64(1) << 33  # mention keys are 2·turn_idx+flag < 2^33
+
+
+class MentionIndex:
+    """Array-backed antecedent index over (conv_id, _key, _name) mention
+    rows.
+
+    Layout: rows sorted by (conv_code, key) with one row per (conv, key)
+    (ties keep the lexicographically largest name); ``gkeys`` is the
+    composite ``conv_code·2^33 + key`` so a SINGLE vectorized
+    ``searchsorted`` resolves a whole batch of pronoun rows at once —
+    rightmost mention with key ≤ 2·turn−1 inside the same conversation.
+    Names are dictionary-encoded (int32 codes + a small pool), so the
+    broadcast pickle is a handful of flat numpy arrays + one
+    conv→code dict, not 10^5 tiny per-conversation objects."""
+
+    __slots__ = ("gkeys", "starts", "codes", "pool", "rank")
+
+    def __init__(self):
+        self.gkeys = np.empty(0, np.int64)
+        self.starts = np.empty(0, np.int64)
+        self.codes = np.empty(0, np.int64)
+        self.pool = np.empty(0, object)
+        self.rank: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.gkeys)
+
+    @classmethod
+    def from_rows(cls, m: pd.DataFrame | None) -> "MentionIndex":
+        """(conv_id, _key, _name) frame → index.  Fully vectorized:
+        factorize + lexsort + boundary masks, no per-conversation loop."""
+        self = cls()
+        if m is None or not len(m):
+            return self
+        conv_codes, conv_uniq = pd.factorize(m["conv_id"])
+        # sort=True → code order == lexicographic name order, so "keep
+        # the largest code per (conv, key)" preserves the historical
+        # largest-name tie-break
+        name_codes, name_uniq = pd.factorize(m["_name"], sort=True)
+        keys = m["_key"].to_numpy(np.int64)
+        order = np.lexsort((name_codes, keys, conv_codes))
+        c, k, nc = conv_codes[order], keys[order], name_codes[order]
+        last = np.concatenate([(c[1:] != c[:-1]) | (k[1:] != k[:-1]), [True]])
+        c, k, nc = c[last], k[last], nc[last]
+        self.gkeys = c.astype(np.int64) * _KEY_SHIFT + k
+        change = np.flatnonzero(c[1:] != c[:-1]) + 1
+        # every factorized code survives the dedup, so starts[code] is
+        # that conversation's slice start
+        self.starts = np.concatenate([[0], change]).astype(np.int64)
+        self.codes = nc.astype(np.int64)
+        self.pool = np.asarray(name_uniq, dtype=object)
+        self.rank = {cv: i for i, cv in enumerate(conv_uniq)}
+        return self
+
+    def resolve(self, convs: np.ndarray, turns: np.ndarray) -> np.ndarray:
+        """Vectorized antecedent lookup → object array of names (None
+        where the conversation is unknown or no mention precedes)."""
+        n = len(convs)
+        out = np.full(n, None, dtype=object)
+        if not len(self.gkeys) or n == 0:
+            return out
+        rank = self.rank
+        r = np.fromiter((rank.get(c, -1) for c in convs), np.int64, n)
+        target = r * _KEY_SHIFT + 2 * np.asarray(turns, np.int64) - 1
+        pos = np.searchsorted(self.gkeys, target, side="right") - 1
+        vidx = np.flatnonzero((r >= 0) & (pos >= 0))
+        if vidx.size:
+            vidx = vidx[pos[vidx] >= self.starts[r[vidx]]]
+            out[vidx] = self.pool[self.codes[pos[vidx]]]
+        return out
+
+
+def _resolve_pron_df(df: pd.DataFrame, index: MentionIndex) -> np.ndarray:
+    """Resolve pronoun PERSON arguments of an edge frame in place via the
+    index; returns the keep mask (False = unresolvable pronoun edge).
+    Vectorized: one ``MentionIndex.resolve`` call per argument column."""
+    keep = np.ones(len(df), dtype=bool)
+    if not len(df):
+        return keep
+    convs = df["conv_id"].to_numpy()
+    turns = df["turn_idx"].to_numpy()
+    for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
+        vals = df[col].to_numpy().copy()
+        is_pron = ((df[tcol] == "PERSON").to_numpy()
+                   & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
+        idx = np.flatnonzero(is_pron)
+        if not idx.size:
+            continue
+        names = index.resolve(convs[idx], turns[idx])
+        ok = np.not_equal(names, None)
+        keep[idx[~ok]] = False
+        vals[idx[ok]] = names[ok]
+        df[col] = vals
+    return keep
 
 
 # --- pronoun coreference pass ---------------------------------------------
@@ -121,25 +209,10 @@ def _mention_partial(batch: pa.Table, convs) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _index_from_mentions(m: pd.DataFrame) -> dict:
-    """(conv, _key, _name) rows → {conv: (sorted keys, names)} antecedent
-    index; ties on the same (conv, _key) keep the lexicographically
-    largest name (deterministic).  Vectorized: one sort + boundary
-    slices instead of a pandas groupby loop — this runs serially on the
-    driver and was the dominant fixed cost at 10^5+ conversations."""
-    mentions: dict = {}
-    if len(m):
-        ms = (m.sort_values(["conv_id", "_key", "_name"])
-              .drop_duplicates(["conv_id", "_key"], keep="last"))
-        convs = ms["conv_id"].to_numpy()
-        keys = ms["_key"].to_numpy()
-        names = ms["_name"].to_numpy()
-        change = np.flatnonzero(convs[1:] != convs[:-1]) + 1
-        starts = np.concatenate([[0], change])
-        ends = np.concatenate([change, [len(convs)]])
-        mentions = {convs[s]: (keys[s:e], names[s:e])
-                    for s, e in zip(starts, ends)}
-    return mentions
+def _index_from_mentions(m: pd.DataFrame) -> MentionIndex:
+    """(conv, _key, _name) rows → :class:`MentionIndex` (ties on the same
+    (conv, _key) keep the lexicographically largest name)."""
+    return MentionIndex.from_rows(m)
 
 
 def pull_mention_rows(edges: "ray.data.Dataset", conv_set: set | None,
@@ -191,22 +264,9 @@ def _resolve_broadcast(tagged, pron, conv_ref, edge_cols,
     ment_ref = ray.put(mentions)
 
     def resolve_map(batch: pa.Table) -> pa.Table:
-        idx_map = ray.get(ment_ref)
+        idx = ray.get(ment_ref)
         df = batch.to_pandas()
-        keep = np.ones(len(df), dtype=bool)
-        convs = df["conv_id"].to_numpy()
-        turns = df["turn_idx"].to_numpy()
-        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-            vals = df[col].to_numpy().copy()
-            is_pron = ((df[tcol] == "PERSON")
-                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
-            for i in np.flatnonzero(is_pron):
-                name = _antecedent(idx_map.get(convs[i]), int(turns[i]))
-                if name is None:
-                    keep[i] = False
-                else:
-                    vals[i] = name
-            df[col] = vals
+        keep = _resolve_pron_df(df, idx)
         out = pa.Table.from_pandas(df[keep][edge_cols],
                                    preserve_index=False)
         cols = [pc.cast(out.column(c), arrow_schema.field(c).type)
@@ -314,30 +374,11 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
         if df.empty or "conv_id" not in df.columns:
             return pd.DataFrame({c: [] for c in edge_cols})
         is_edge = df["_name"].isna() & df["_key"].isna()
-        m = df[~is_edge]
-        mentions: dict = {}
-        if len(m):
-            ms = (m.sort_values(["conv_id", "_key", "_name"])
-                  .drop_duplicates(["conv_id", "_key"], keep="last"))
-            for conv, g in ms.groupby("conv_id", sort=False):
-                mentions[conv] = (g["_key"].to_numpy(), g["_name"].to_list())
+        idx = MentionIndex.from_rows(df[~is_edge])
         e = df[is_edge].drop(columns=["_key", "_name", "_bucket"]).copy()
         if not len(e):
             return e
-        keep = np.ones(len(e), dtype=bool)
-        convs = e["conv_id"].to_numpy()
-        turns = e["turn_idx"].to_numpy()
-        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-            vals = e[col].to_numpy().copy()
-            is_pron = ((e[tcol] == "PERSON")
-                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
-            for i in np.flatnonzero(is_pron):
-                name = _antecedent(mentions.get(convs[i]), int(turns[i]))
-                if name is None:
-                    keep[i] = False
-                else:
-                    vals[i] = name
-            e[col] = vals
+        keep = _resolve_pron_df(e, idx)
         return e[keep]
 
     resolved = (combined.map_batches(add_bucket, batch_format="pyarrow")
@@ -423,14 +464,20 @@ def build_link_state(edges: "ray.data.Dataset"):
 
     from ..functions.shuffle import grouped_aggregate
 
-    def _rows(kind, k1, k2, n) -> pa.Table:
+    def _rows(kind, k1, k2, n, k3=None) -> pa.Table:
         m = len(k1)
+
+        def _col(v):
+            if isinstance(v, str):
+                return pa.array([v] * m, pa.string())
+            return pc.cast(v, pa.string()) if not isinstance(v, list) \
+                else pa.array(v, pa.string())
+
         return pa.table({
             "kind": pa.array([kind] * m, pa.string()),
-            "k1": pc.cast(k1, pa.string()) if not isinstance(k1, list)
-            else pa.array(k1, pa.string()),
-            "k2": (pa.array([k2] * m, pa.string()) if isinstance(k2, str)
-                   else pc.cast(k2, pa.string())),
+            "k1": _col(k1),
+            "k2": _col(k2),
+            "k3": _col(k3 if k3 is not None else ""),
             "n": (pa.array([1] * m, pa.int64()) if n is None
                   else pc.cast(n, pa.int64())),
         })
@@ -453,8 +500,10 @@ def build_link_state(edges: "ray.data.Dataset"):
             has_space = pc.match_substring(vals, " ")
             full_mask = pc.and_(is_name, has_space)
             bare_mask = pc.and_(is_name, pc.invert(has_space))
-            # R rows: distinct (conv, full name); surname split runs on
-            # the batch uniques only
+            # R rows: distinct (conv, surname, full name); the surname
+            # split runs on the batch uniques only, and surname/full ride
+            # in separate key columns (k2/k3) so the driver finish never
+            # re-splits strings
             sel = batch.filter(full_mask)
             if sel.num_rows:
                 key = pc.binary_join_element_wise(
@@ -462,9 +511,10 @@ def build_link_state(edges: "ray.data.Dataset"):
                 uniq = pd.Series(pc.unique(key.combine_chunks()).to_pandas())
                 parts = uniq.str.split("\x01", n=1, expand=True)
                 full = parts[1]
-                k2 = (full.str.rsplit(" ", n=1).str[-1] + "\x01" + full)
+                surname = full.str.rsplit(" ", n=1).str[-1]
                 tables.append(_rows("R", pa.Array.from_pandas(parts[0]),
-                                    pa.Array.from_pandas(k2), None))
+                                    pa.Array.from_pandas(surname), None,
+                                    k3=pa.Array.from_pandas(full)))
             # S rows: everything that is not a bare PERSON name/pronoun
             # (empty strings — e.g. the obj slot of @MENTION pseudo-edges
             # — carry no surface and are excluded)
@@ -490,27 +540,34 @@ def build_link_state(edges: "ray.data.Dataset"):
             return pa.table({"kind": pa.array([], pa.string()),
                              "k1": pa.array([], pa.string()),
                              "k2": pa.array([], pa.string()),
+                             "k3": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
     agg = grouped_aggregate(
         edges.map_batches(partial, batch_format="pyarrow"),
-        keys=["kind", "k1", "k2"], specs=[("n", "sum")], rename={"n_sum": "n"})
+        keys=["kind", "k1", "k2", "k3"], specs=[("n", "sum")],
+        rename={"n_sum": "n"})
     pdf = agg.to_pandas()
     if pdf.empty or "kind" not in pdf.columns:
         return {}, {}, set()
 
     # registry from R rows: exactly one full per (conv, surname); keyed
     # by "conv\x01surname" (string keys build and probe faster than
-    # tuples at conversation counts)
-    r = pdf[pdf["kind"] == "R"].copy()
+    # tuples at conversation counts).  R rows are DISTINCT
+    # (conv, surname, full) by aggregate construction, so "exactly one
+    # full name" == "key appears once" — a factorize + bincount, no
+    # string re-split and no pandas nunique groupby (this finish runs
+    # serially on the driver and was ~75% of build_link_state at 10^6+
+    # registry rows).
+    r = pdf[pdf["kind"] == "R"]
     registry: dict[str, str] = {}
     if len(r):
-        sp = r["k2"].str.split("\x01", n=1, expand=True)
-        r["surname"], r["full"] = sp[0], sp[1]
-        g = r.groupby(["k1", "surname"])["full"].agg(["nunique", "first"]).reset_index()
-        g = g[g["nunique"] == 1]
-        registry = dict(zip(g["k1"] + "\x01" + g["surname"], g["first"]))
+        key = (r["k1"] + "\x01" + r["k2"]).to_numpy()
+        codes, uniq = pd.factorize(key)
+        once = np.bincount(codes) == 1
+        mask = once[codes]
+        registry = dict(zip(key[mask], r["k3"].to_numpy()[mask]))
 
     # canonical counts: S surfaces + registry-resolved B surnames —
     # vectorized (the B resolution maps through the registry as a
@@ -559,14 +616,13 @@ class LinkCanonRewriter:
         idx = np.flatnonzero(bare.combine_chunks().to_numpy(zero_copy_only=False))
         if idx.size == 0:
             return vals
-        convs = pc.take(batch.column("conv_id"), pa.array(idx)).to_pylist()
-        bvals = pc.take(vals, pa.array(idx)).to_pylist()
-        reg = self.registry
-        resolved = pa.array([reg.get(c + "\x01" + v, v)
-                             for c, v in zip(convs, bvals)],
-                            pa.string())
+        ia = pa.array(idx)
+        # vectorized registry probe: C-level string concat + dict map
+        convs = pd.Series(pc.take(batch.column("conv_id"), ia).to_pandas())
+        bvals = pd.Series(pc.take(vals, ia).to_pandas())
+        resolved = (convs + "\x01" + bvals).map(self.registry).fillna(bvals)
         out = vals.to_numpy(zero_copy_only=False).copy()
-        out[idx] = resolved.to_numpy(zero_copy_only=False)
+        out[idx] = resolved.to_numpy()
         return pa.array(out, pa.string())
 
     def _canon_col(self, col: pa.Array) -> pa.Array:
@@ -598,9 +654,10 @@ class FusedLinkRewriter(LinkCanonRewriter):
 
     def __init__(self, registry_ref, canon_ref, ment_ref=None):
         super().__init__(registry_ref, canon_ref)
-        self.mentions = (ray.get(ment_ref)
-                         if isinstance(ment_ref, ray.ObjectRef)
-                         else (ment_ref or {}))
+        mentions = (ray.get(ment_ref)
+                    if isinstance(ment_ref, ray.ObjectRef) else ment_ref)
+        self.mentions = (mentions if isinstance(mentions, MentionIndex)
+                         else MentionIndex())
 
     def _resolve_pron(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -611,20 +668,7 @@ class FusedLinkRewriter(LinkCanonRewriter):
             return batch
         plain = batch.filter(pc.invert(m_any))
         df = batch.filter(m_any).to_pandas()
-        keep = np.ones(len(df), dtype=bool)
-        convs = df["conv_id"].to_numpy()
-        turns = df["turn_idx"].to_numpy()
-        for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-            vals = df[col].to_numpy().copy()
-            is_pron = ((df[tcol] == "PERSON")
-                       & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
-            for i in np.flatnonzero(is_pron):
-                name = _antecedent(self.mentions.get(convs[i]), int(turns[i]))
-                if name is None:
-                    keep[i] = False
-                else:
-                    vals[i] = name
-            df[col] = vals
+        keep = _resolve_pron_df(df, self.mentions)
         df = df[keep]
         if not len(df):
             return plain

@@ -3,12 +3,14 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The image path is REAL for PPM (P6), 24-bit uncompressed BMP, and
 8-bit non-interlaced PNG (stdlib zlib inflate + scanline unfiltering,
-filters 0–4) — decode → resize → embed → dedup/similarity runs
-end-to-end on actual pixels with no external libraries.  JPEG and
-audio/video decoding need PIL/ffmpeg, which are not in this container:
-those payloads fall back to deterministic digest-seeded fake features
-(``mode="fake"``), or raise with ``mode="strict"`` to mark the boundary
-explicitly.
+filters 0–4); the audio path is REAL for RIFF/WAVE PCM (8/16/32-bit int
+and float32, any channel count → mono) with numpy spectral band-energy
+features — decode → resize/featurize → dedup/similarity runs end-to-end
+on actual pixels/samples with no external libraries.  JPEG, compressed
+audio (mp3/ogg/aac) and video decoding need PIL/ffmpeg, which are not in
+this container: those payloads fall back to deterministic digest-seeded
+fake features (``mode="fake"``), or raise with ``mode="strict"`` to mark
+the boundary explicitly.
 
 Batch-size guidance (SURVEY §7 'wide rows'): with payloads of ~1 MB keep
 ``batch_size`` ≤ 64 so batch × concurrency stays inside a worker heap.
@@ -228,6 +230,121 @@ def encode_png(img: np.ndarray) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raster))
             + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------- audio
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """binary → (mono float32 samples in [-1, 1], sample_rate), or None
+    for non-WAV / compressed / malformed payloads.  Pure stdlib+numpy
+    RIFF/WAVE parse: PCM 8-bit unsigned, 16/32-bit signed, and IEEE
+    float32; multi-channel is averaged to mono."""
+    if (not payload or len(payload) < 44 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        return None
+    pos, fmt, data = 12, None, None
+    try:
+        while pos + 8 <= len(payload):
+            cid, clen = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, channels, rate, _, _, bits = fmt
+        if channels < 1 or rate <= 0:
+            return None
+        if audio_format == 1 and bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+                 - 128.0) / 128.0
+        elif audio_format == 1 and bits == 16:
+            x = np.frombuffer(data[:len(data) & ~1],
+                              dtype="<i2").astype(np.float32) / 32768.0
+        elif audio_format == 1 and bits == 32:
+            x = np.frombuffer(data[:len(data) & ~3],
+                              dtype="<i4").astype(np.float32) / 2147483648.0
+        elif audio_format == 3 and bits == 32:
+            x = np.frombuffer(data[:len(data) & ~3],
+                              dtype="<f4").astype(np.float32)
+        else:
+            return None  # compressed (mp3/ogg inside RIFF) / exotic widths
+        n = (len(x) // channels) * channels
+        if n == 0:
+            return None
+        mono = x[:n].reshape(-1, channels).mean(axis=1).astype(np.float32)
+        return mono, int(rate)
+    except (struct.error, ValueError):
+        return None
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """mono/stereo float array in [-1, 1] → 16-bit PCM WAV (the
+    test/fixture encoder proving the decode path round-trips)."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                   rate * channels * 2, channels * 2, 16)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   dim: int = FEATURE_DIM) -> np.ndarray:
+    """``dim`` log band-energies of the power spectrum (numpy rFFT,
+    equal-width bands over 0..Nyquist), mean-centered — a deterministic
+    spectral fingerprint: identical audio → identical features, a pure
+    tone lands its energy in band ``int(freq/(rate/2)·dim)``."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < 2:
+        x = np.zeros(2)
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    edges = np.linspace(0, len(spec), dim + 1).astype(int)
+    bands = np.array([spec[a:b].sum() if b > a else 0.0
+                      for a, b in zip(edges[:-1], edges[1:])])
+    e = np.log10(bands + 1e-12)
+    return (e - e.mean()).astype(np.float32)
+
+
+class AudioFeatureExtractor:
+    """binary audio payloads → spectral feature vectors.  WAV/PCM
+    payloads are DECODED (real samples); compressed formats follow
+    ``mode``: "fake" (digest-seeded vector) or "strict"
+    (NotImplementedError — the ffmpeg boundary made explicit).  Emits
+    the measured duration for decoded rows (−1 otherwise)."""
+
+    def __init__(self, dim: int = FEATURE_DIM, mode: str = "fake"):
+        self.dim = dim
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, decoded_flags, durs = [], [], []
+        for p in batch.column("payload").to_pylist():
+            dec = decode_audio(p)
+            if dec is not None:
+                samples, rate = dec
+                feats.append(audio_features(samples, rate, self.dim).tolist())
+                decoded_flags.append(True)
+                durs.append(int(len(samples) * 1000 / rate))
+            elif self.mode == "strict":
+                raise NotImplementedError(
+                    "compressed audio decode requires ffmpeg; "
+                    "only RIFF/WAVE PCM decodes in this container")
+            else:
+                feats.append(_fake_features(p, self.dim).tolist())
+                decoded_flags.append(False)
+                durs.append(-1)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "embedding": pa.array(feats, pa.list_(pa.float32())),
+            "decoded": pa.array(decoded_flags, pa.bool_()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        })
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

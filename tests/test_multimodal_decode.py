@@ -170,3 +170,88 @@ def test_media_pipeline_decodes_real_formats(ray_session):
     out = decode_image(resized["payload"][0])
     assert out.shape == (12, 16, 3)
     assert np.array_equal(out, resize_nearest(img_a, 16, 12))
+
+
+# ---------------------------------------------------------------- audio
+
+def test_wav_roundtrip_and_mono_mix():
+    from ice_ray.stages.multimodal import decode_audio, encode_wav
+
+    t = np.arange(800) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 200.0 * t)
+    samples, rate = decode_audio(encode_wav(x, 8000))
+    assert rate == 8000 and len(samples) == 800
+    assert np.max(np.abs(samples - x.astype(np.float32))) < 1e-3  # 16-bit q
+
+    # stereo averages to mono; float32 WAV decodes exactly
+    import struct
+    st = np.stack([x, -x], axis=1).astype("<f4")
+    body = st.reshape(-1).tobytes()
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 2, 8000,
+                                   8000 * 8, 8, 32)
+           + b"data" + struct.pack("<I", len(body)) + body)
+    mono, rate2 = decode_audio(wav)
+    assert rate2 == 8000
+    assert np.max(np.abs(mono)) < 1e-6  # L + R cancel exactly
+
+
+def test_wav_malformed_returns_none():
+    from ice_ray.stages.multimodal import decode_audio, encode_wav
+
+    assert decode_audio(b"") is None
+    assert decode_audio(b"RIFF1234WAVE") is None           # no chunks
+    assert decode_audio(b"ID3\x03mp3-stub" * 10) is None   # not RIFF
+    good = encode_wav(np.zeros(100), 8000)
+    assert decode_audio(good[:40]) is None                 # truncated
+    # fmt claiming a compressed codec → None
+    bad = bytearray(good)
+    bad[20] = 85  # wFormatTag = MP3
+    assert decode_audio(bytes(bad)) is None
+
+
+def test_audio_features_tone_band():
+    """A pure tone's energy lands in band int(freq/(rate/2)·dim)."""
+    from ice_ray.stages.multimodal import audio_features, decode_audio, encode_wav
+
+    rate, freq, dim = 16000, 440.0, 64
+    t = np.arange(1600) / rate
+    samples, _ = decode_audio(encode_wav(0.8 * np.sin(2 * np.pi * freq * t), rate))
+    f = audio_features(samples, rate, dim)
+    assert len(f) == dim and f.dtype == np.float32
+    assert int(np.argmax(f)) == int(freq / (rate / 2) * dim)
+
+
+def test_audio_pipeline_and_independent_gold(ray_session):
+    """AudioFeatureExtractor over the fixture == the INDEPENDENT gold
+    (stdlib wave parser + explicit DFT), including the fake-path stub."""
+    import hashlib
+
+    from ice_ray.oracle import audio_fixture_rows, gold_audio_features
+    from ice_ray.stages.multimodal import AudioFeatureExtractor
+
+    ds = ray.data.from_items(audio_fixture_rows())
+    out = (ds.map_batches(AudioFeatureExtractor, batch_format="pyarrow",
+                          batch_size=2, concurrency=(1, 2))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    gold = gold_audio_features().sort_values("media_id").reset_index(drop=True)
+    assert list(out["media_id"]) == list(gold["media_id"])
+    assert list(out["decoded"]) == [True, True, False]
+    assert list(out["decoded"]) == list(gold["decoded"])
+    assert list(out["duration_ms"].astype("int64")) == list(gold["duration_ms"])
+    for emb, fp in zip(out["embedding"], gold["feat_fp"]):
+        fr = np.round(np.asarray(emb, np.float32).astype(np.float64),
+                      4).astype(np.float32)
+        assert hashlib.md5(fr.tobytes()).hexdigest() == fp
+
+
+def test_audio_strict_mode_raises(ray_session):
+    import pytest
+
+    from ice_ray.stages.multimodal import AudioFeatureExtractor
+
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": pa.array(["audio"], pa.string()),
+                      "payload": pa.array([b"ID3\x03stub"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        AudioFeatureExtractor(mode="strict")(batch)
