@@ -80,6 +80,8 @@ class PipelineConfig:
     soft_match: bool = False               # decode: exact only (default) or +soft rules
     soft_threshold: float = SOFT_MIN_THRESHOLD  # normalized soft-match acceptance bound
     link_strategy: str = "broadcast"       # "broadcast" (registry fits memory) | "shuffle" (10^12-turn safe)
+    fuse_decode: bool = True               # flagship: one annotate+extract+tag actor pool (path rows
+                                           # never hit the object store); False = split pools (cached layout)
     dirty_broadcast_max: int = 200_000     # refresh: dirty-key sets above this re-extract the whole group
                                            # instead of broadcasting an unbounded key set
     extract_cache_max: int = 100_000       # distinct-text memo entries per annotator actor (0 = off)

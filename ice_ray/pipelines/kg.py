@@ -56,6 +56,53 @@ def extract_paths(transcripts: "ray.data.Dataset",
     )
 
 
+def _decode_kwargs(rules: dict[str, str] | None, cfg: PipelineConfig,
+                   neg_rules: dict[str, str] | None = None,
+                   embeddings: dict | None = None) -> dict:
+    """Broadcast the rule/neg/embedding tables once (``ray.put``) and
+    return the Tagger constructor kwargs shared by the split and fused
+    decode layouts."""
+    rules = rules if rules is not None else DEFAULT_RELATION_RULES
+    kwargs = {"rules_ref": ray.put(rules), "soft": cfg.soft_match,
+              "soft_threshold": cfg.soft_threshold}
+    if neg_rules:
+        kwargs["neg_rules_ref"] = ray.put(neg_rules)
+    if embeddings:
+        kwargs["emb_ref"] = ray.put(embeddings)
+    return kwargs
+
+
+def extract_decode_edges(transcripts: "ray.data.Dataset",
+                         rules: dict[str, str] | None = None,
+                         cfg: PipelineConfig | None = None,
+                         neg_rules: dict[str, str] | None = None,
+                         embeddings: dict | None = None,
+                         extra_entity_sets: dict | None = None
+                         ) -> "ray.data.Dataset":
+    """Fused flagship extraction: text → raw edges in ONE actor pool
+    (annotate + extract + decode; stages/annotator.py
+    AnnotateExtractDecode).  Path rows never hit the object store and
+    no static CPU split between an extract pool and a tag pool exists —
+    the whole pool does the heavy annotate work and tags in place."""
+    from ..stages.annotator import AnnotateExtractDecode
+
+    cfg = cfg or PipelineConfig()
+    kwargs = _decode_kwargs(rules, cfg, neg_rules, embeddings)
+    kwargs.update({"max_intervening": cfg.max_intervening_mentions,
+                   "emit_repr": False,
+                   "emit_person_mentions": True,
+                   "cache_max": cfg.extract_cache_max})
+    if extra_entity_sets:
+        kwargs["extra_entity_sets"] = extra_entity_sets
+    return transcripts.map_batches(
+        AnnotateExtractDecode,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=cfg.annotator_batch_size,
+        concurrency=cfg.annotator_concurrency,
+    )
+
+
 def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
                  cfg: PipelineConfig | None = None,
                  neg_rules: dict[str, str] | None = None,
@@ -65,14 +112,7 @@ def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
     rule tables and the embedding table are broadcast once via ray.put
     and fetched in each decode actor's __init__."""
     cfg = cfg or PipelineConfig()
-    rules = rules if rules is not None else DEFAULT_RELATION_RULES
-    rules_ref = ray.put(rules)  # broadcast once, fetched per actor __init__
-    kwargs = {"rules_ref": rules_ref, "soft": cfg.soft_match,
-              "soft_threshold": cfg.soft_threshold}
-    if neg_rules:
-        kwargs["neg_rules_ref"] = ray.put(neg_rules)
-    if embeddings:
-        kwargs["emb_ref"] = ray.put(embeddings)
+    kwargs = _decode_kwargs(rules, cfg, neg_rules, embeddings)
     return paths.map_batches(
         Tagger,
         fn_constructor_kwargs=kwargs,
@@ -249,9 +289,12 @@ def build_kg(transcripts: "ray.data.Dataset",
     cfg = cfg or PipelineConfig()
     # the decode path needs no repr/example — skip the linearizer;
     # person mentions of path-less turns ride along for coref
-    paths = extract_paths(transcripts, cfg, emit_repr=False,
-                          emit_person_mentions=True)
-    edges = decode_edges(paths, rules, cfg)
+    if cfg.fuse_decode:
+        edges = extract_decode_edges(transcripts, rules, cfg)
+    else:
+        paths = extract_paths(transcripts, cfg, emit_repr=False,
+                              emit_person_mentions=True)
+        edges = decode_edges(paths, rules, cfg)
     edges = canonicalize_edges(edges, strategy=cfg.link_strategy)
     return dedup_edges(edges)
 
@@ -347,9 +390,12 @@ def run_kg_job(input_files: list[str], out_dir: str,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
                                    override_num_blocks=max(len(files), ncpu * 4))
-        edges = decode_edges(extract_paths(ds, cfg, emit_repr=False,
-                                           emit_person_mentions=True),
-                             rules, cfg)
+        if cfg.fuse_decode:
+            edges = extract_decode_edges(ds, rules, cfg)
+        else:
+            edges = decode_edges(extract_paths(ds, cfg, emit_repr=False,
+                                               emit_person_mentions=True),
+                                 rules, cfg)
         gdir = os.path.join(out_dir, "raw_edges", gid)
         edges.write_parquet(gdir, mode="overwrite")
         n = ray.data.read_parquet(gdir).count()
@@ -425,6 +471,9 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
         dirty_total += n_dirty
 
         def _extract(turns):
+            if cfg.fuse_decode:
+                return extract_decode_edges(turns, rules, cfg,
+                                            extra_entity_sets=extra_entity_sets)
             p = turns.map_batches(
                 AnnotateExtract,
                 fn_constructor_kwargs={"max_intervening": cfg.max_intervening_mentions,

@@ -157,6 +157,38 @@ class AnnotateExtract:
         })
 
 
+class AnnotateExtractDecode(AnnotateExtract):
+    """Fully fused flagship stage: text → raw edges in ONE actor pool.
+
+    Stacks the decode (Tagger) on top of the fused annotate+extract so
+    path rows never hit the object store either — only the (much
+    smaller) edge rows leave the stage — and the pipeline runs a single
+    actor pool instead of two.  Two pools can't be fused by Ray Data's
+    planner, so the split layout pays an extra serialize/deserialize of
+    every path row plus a static CPU partition between the pools; the
+    heavy annotate work and the cheap dict-encoded tag lookup share one
+    pool here and the tag rides the same core that produced the batch.
+
+    Rule/neg-rule/embedding tables are broadcast ObjectRefs fetched once
+    in ``__init__`` exactly as in the standalone Tagger.
+    """
+
+    def __init__(self, rules_ref=None, soft: bool = False,
+                 neg_rules_ref=None, emb_ref=None,
+                 soft_threshold: float | None = None, **kwargs):
+        super().__init__(**kwargs)
+        from ..config import SOFT_MIN_THRESHOLD
+        from .tagger import Tagger
+        self._tagger = Tagger(
+            rules_ref, soft=soft, neg_rules_ref=neg_rules_ref,
+            emb_ref=emb_ref,
+            soft_threshold=(SOFT_MIN_THRESHOLD if soft_threshold is None
+                            else soft_threshold))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._tagger(super().__call__(batch))
+
+
 class ExtractFromAnnotations:
     """Annotation columns → path rows (phase-2 of the cached layout;
     reads the S4/S5 intermediate instead of re-annotating)."""

@@ -42,6 +42,21 @@ def test_edges_schema_and_weights(corpus):
     assert not edges.duplicated(["subj", "pred", "obj"]).any()
 
 
+def test_fused_decode_equals_split(corpus):
+    """The fused annotate+extract+tag actor pool (fuse_decode=True, the
+    default) must produce exactly the edge table of the split
+    extract-pool → tag-pool layout."""
+    from ice_ray.config import PipelineConfig
+
+    ds, _ = corpus
+    fused = build_kg(ds, cfg=PipelineConfig(fuse_decode=True)).to_pandas()
+    split = build_kg(ds, cfg=PipelineConfig(fuse_decode=False)).to_pandas()
+    key = ["subj", "pred", "obj"]
+    fused = fused.sort_values(key).reset_index(drop=True)
+    split = split.sort_values(key).reset_index(drop=True)
+    assert fused.equals(split[fused.columns])
+
+
 def test_resume_skips_completed_groups(ray_session, tmp_path):
     corpus_dir = materialize_corpus(800, seed=7, base_dir=str(tmp_path / "corpus"),
                                     shard_rows=200)
