@@ -402,10 +402,17 @@ def gold_event_bootstrap_candidates(
 
 
 def media_fixture_rows() -> list[dict]:
-    """Deterministic inline media table for the multimodal query: three
-    decodable images (PPM + BMP + real PNG), one near-dup, one
+    """Deterministic inline media table for the multimodal query: five
+    decodable images (PPM + BMP + real PNG + real GIF + real baseline
+    JPEG with 4:2:0 subsampling and restart markers), one near-dup, one
     malformed-compressed stub."""
-    from .stages.multimodal import encode_bmp, encode_png, encode_ppm
+    from .stages.jpeg import encode_jpeg
+    from .stages.multimodal import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+    )
 
     def gradient(w, h, bump=0):
         x = np.arange(w)[None, :]
@@ -431,6 +438,14 @@ def media_fixture_rows() -> list[dict]:
         {"media_id": 4, "kind": "image",
          "payload": encode_png(gradient(32, 24, bump=12)),
          "mime": "image/png", "width": 32, "height": 24, "duration_ms": -1},
+        # quantized gradient (<=256 distinct colors — GIF is paletted)
+        {"media_id": 5, "kind": "image",
+         "payload": encode_gif((gradient(40, 30) // 32) * 32),
+         "mime": "image/gif", "width": 40, "height": 30, "duration_ms": -1},
+        {"media_id": 6, "kind": "image",
+         "payload": encode_jpeg(gradient(48, 32), quality=90,
+                                subsampling=(2, 2), restart_interval=2),
+         "mime": "image/jpeg", "width": 48, "height": 32, "duration_ms": -1},
     ]
 
 

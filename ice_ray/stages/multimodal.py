@@ -1,16 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image path is REAL for PPM (P6), 24-bit uncompressed BMP, and
-8-bit non-interlaced PNG (stdlib zlib inflate + scanline unfiltering,
-filters 0–4); the audio path is REAL for RIFF/WAVE PCM (8/16/32-bit int
-and float32, any channel count → mono) with numpy spectral band-energy
-features — decode → resize/featurize → dedup/similarity runs end-to-end
-on actual pixels/samples with no external libraries.  JPEG, compressed
-audio (mp3/ogg/aac) and video decoding need PIL/ffmpeg, which are not in
-this container: those payloads fall back to deterministic digest-seeded
-fake features (``mode="fake"``), or raise with ``mode="strict"`` to mark
-the boundary explicitly.
+The image path is REAL for PPM (P6), 24-bit uncompressed BMP, 8-bit
+non-interlaced PNG (stdlib zlib inflate + scanline unfiltering, filters
+0–4), GIF87a/89a (pure-python variable-width LZW, interlace supported)
+and baseline JPEG (SOF0/SOF1 Huffman + numpy IDCT — see
+``stages/jpeg.py``); the audio path is REAL for RIFF/WAVE PCM
+(8/16/32-bit int and float32, any channel count → mono) with numpy
+spectral band-energy features — decode → resize/featurize →
+dedup/similarity runs end-to-end on actual pixels/samples with no
+external libraries.  Progressive JPEG, compressed audio (mp3/ogg/aac)
+and video decoding need libjpeg/ffmpeg, which are not in this
+container: those payloads fall back to deterministic digest-seeded fake
+features (``mode="fake"``), or raise with ``mode="strict"`` to mark the
+boundary explicitly.
 
 Batch-size guidance (SURVEY §7 'wide rows'): with payloads of ~1 MB keep
 ``batch_size`` ≤ 64 so batch × concurrency stays inside a worker heap.
@@ -50,6 +53,11 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     return None
 
 
@@ -232,6 +240,202 @@ def encode_png(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+# ----------------------------------------------------------------- GIF
+# GIF87a/89a first frame, pure python: logical-screen + image-descriptor
+# parse, variable-width LSB-first LZW (GIF89a spec appendix F), palette
+# lookup, optional interlace. Reference boundary this replaces: the
+# "compressed formats need PIL" stub — GIF needs only integer LZW.
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW code space
+
+
+def _lzw_decode(data: bytes, min_code: int, npix: int) -> bytearray | None:
+    """GIF LZW → palette indices.  Spec width rule: width grows right
+    after the table reaches 2**width entries (capped at 12 bits)."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width, bitpos, nbits = min_code + 1, 0, len(data) * 8
+    out, prev = bytearray(), None
+    while bitpos + width <= nbits and len(out) < npix:
+        byte = bitpos >> 3
+        code = (int.from_bytes(data[byte:byte + 3], "little")
+                >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width, prev = min_code + 1, None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]          # the KwKwK case
+        else:
+            return None                      # corrupt stream
+        out += entry
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out if len(out) >= npix else None
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    out = np.empty_like(rows)
+    out[order] = rows
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray | None:
+    """First frame of a GIF87a/89a → H×W×3 uint8 RGB (frame rendered at
+    its own size; animation composition is out of scope)."""
+    try:
+        w, h = struct.unpack_from("<HH", payload, 6)
+        packed = payload[10]
+        pos, gct = 13, None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(payload[pos:pos + 3 * n],
+                                np.uint8).reshape(n, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:                   # trailer
+                return None
+            if b0 == 0x21:                   # extension: label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:                 # image descriptor
+                iw, ih = struct.unpack_from("<HH", payload, pos + 5)
+                ipacked = payload[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:           # local color table
+                    n = 2 << (ipacked & 7)
+                    ct = np.frombuffer(payload[pos:pos + 3 * n],
+                                       np.uint8).reshape(n, 3)
+                    pos += 3 * n
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                if ct is None or iw <= 0 or ih <= 0:
+                    return None
+                idx = _lzw_decode(bytes(data), min_code, iw * ih)
+                if idx is None:
+                    return None
+                ind = np.frombuffer(bytes(idx[:iw * ih]), np.uint8)
+                if ind.max(initial=0) >= len(ct):
+                    return None
+                img = ct[ind].reshape(ih, iw, 3)
+                if ipacked & 0x40:
+                    img = _deinterlace(img)
+                return img.copy()
+            else:
+                return None
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """H×W×3 uint8 RGB (≤256 distinct colors) → single-frame GIF89a —
+    the fixture encoder: a REAL LZW compressor that simulates the
+    decoder's width/table schedule so the variable-width bitstream stays
+    in sync (entry n is created encoder-side at emission n and learned
+    decoder-side at emission n+1)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("fixture encoder requires <=256 distinct colors")
+    pbits = max(2, int(np.ceil(np.log2(max(len(palette), 2)))))
+    psize = 1 << pbits
+    pal = np.zeros((psize, 3), np.uint8)
+    pal[:len(palette)] = palette
+
+    min_code = pbits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    acc = pos = 0
+
+    state = {"width": min_code + 1, "n": end + 1, "seen": False}
+
+    def put(code: int) -> None:
+        nonlocal acc, pos
+        acc |= code << pos
+        pos += state["width"]
+        while pos >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            pos -= 8
+
+    def emit_data(code: int) -> None:
+        put(code)
+        # decoder-side table growth happens while PROCESSING this code
+        # (before reading the next), except for the first code after clear
+        if state["seen"]:
+            state["n"] += 1
+            if state["n"] == (1 << state["width"]) and state["width"] < 12:
+                state["width"] += 1
+        else:
+            state["seen"] = True
+
+    def emit_clear() -> None:
+        put(clear)
+        state.update(width=min_code + 1, n=end + 1, seen=False)
+
+    emit_clear()
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    prev = b""
+    for i in inverse.astype(np.uint8).tobytes():
+        cur = prev + bytes([i])
+        if cur in table:
+            prev = cur
+            continue
+        emit_data(table[prev])
+        if next_code < _GIF_MAX_CODE - 2:
+            table[cur] = next_code
+            next_code += 1
+        else:                                # table nearly full: reset both
+            emit_clear()
+            table = {bytes([k]): k for k in range(clear)}
+            next_code = end + 1
+        prev = bytes([i])
+    if prev:
+        emit_data(table[prev])
+    put(end)
+    if pos:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pbits - 1) << 4)
+                       | (pbits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for k in range(0, len(bits), 255):
+        sub = bits[k:k + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- audio
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
@@ -398,8 +602,8 @@ class ImageFeatureExtractor:
                 decoded_flags.append(True)
             elif self.mode == "strict":
                 raise NotImplementedError(
-                    "compressed image decode requires PIL/torch; "
-                    "only PPM/BMP decode in this container")
+                    "undecodable image payload; PPM/BMP/PNG/GIF/baseline-JPEG "
+                    "decode here — other formats require PIL/torch")
             else:
                 feats.append(_fake_features(p, self.dim).tolist())
                 decoded_flags.append(False)

@@ -115,6 +115,103 @@ def test_malformed_payloads_return_none():
         assert decode_image(payload) is None, payload[:20]
 
 
+def test_codec_roundtrip_gif():
+    """GIF is paletted → lossless round trip, including 12-bit LZW table
+    growth (256-color random image) and width growth mid-stream."""
+    from ice_ray.stages.multimodal import encode_gif
+
+    img = (_gradient(37, 23) // 32) * 32          # <=256 distinct colors
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+    rng = np.random.RandomState(11)
+    big = rng.randint(0, 256, size=(90, 130)).astype(np.uint8)
+    big = np.stack([big, big // 2, 255 - big], axis=2)   # 256 colors
+    assert np.array_equal(decode_image(encode_gif(big)), big)
+
+
+def test_gif_interlaced_and_malformed():
+    """Interlaced flag: rows stored in pass order decode back to the
+    original raster; malformed streams return None."""
+    from ice_ray.stages.multimodal import _deinterlace, encode_gif
+
+    img = (_gradient(16, 16) // 64) * 64
+    h = img.shape[0]
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    payload = bytearray(encode_gif(img[order]))   # rows in interlace order
+    # image-descriptor packed byte: header(13) + GCT + 0x2C + 8
+    gct_bytes = 3 * (2 << (payload[10] & 7))
+    payload[13 + gct_bytes + 9] |= 0x40           # set interlace flag
+    out = decode_image(bytes(payload))
+    assert np.array_equal(out, img)
+    # _deinterlace inverts the pass ordering directly too
+    assert np.array_equal(_deinterlace(img[order]), img)
+
+    assert decode_image(b"GIF89a") is None
+    assert decode_image(b"GIF89a" + b"\x00" * 20) is None
+    assert decode_image(bytes(payload)[:40]) is None      # truncated
+
+
+def test_codec_roundtrip_jpeg():
+    """Baseline JPEG: encoder (forward DCT + Huffman) and decoder
+    (Huffman + IDCT) are independent directions of the spec — bounded
+    reconstruction error on smooth images proves both."""
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.arange(70)[None, :]
+    y = np.arange(50)[:, None]
+    img = np.zeros((50, 70, 3), np.uint8)
+    img[:, :, 0] = np.clip(x * 3, 0, 255)
+    img[:, :, 1] = np.clip(y * 4, 0, 255)
+    img[:, :, 2] = np.clip((x + y) * 2, 0, 255)
+
+    for ss, tol in [((1, 1), 5), ((2, 2), 12)]:
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=ss))
+        assert out is not None and out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol, ss
+    # dispatches through decode_image on the FFD8 magic
+    assert decode_image(encode_jpeg(img)) is not None
+
+
+def test_jpeg_restart_markers_and_edge_sizes():
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    # smooth (non-wrapping) gradient at non-multiple-of-8/16 dims: 4:2:0
+    # chroma averaging across _gradient's %256 sawtooth edges loses the
+    # chroma step by construction, so use clipped ramps here
+    x = np.arange(61)[None, :]
+    y = np.arange(43)[:, None]
+    img = np.zeros((43, 61, 3), np.uint8)
+    img[:, :, 0] = np.clip(x * 4, 0, 255)
+    img[:, :, 1] = np.clip(255 - y * 5, 0, 255)
+    img[:, :, 2] = np.clip(x + y, 0, 255)
+    for ss in [(1, 1), (2, 2)]:
+        for ri in [1, 3]:
+            out = decode_jpeg(encode_jpeg(img, quality=92, subsampling=ss,
+                                          restart_interval=ri))
+            assert out is not None and out.shape == img.shape, (ss, ri)
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 20
+    for shape in [(1, 1, 3), (9, 7, 3), (8, 8, 3)]:
+        im = np.full(shape, 77, np.uint8)
+        out = decode_jpeg(encode_jpeg(im, quality=95))
+        assert out is not None and out.shape == shape
+        assert np.abs(out.astype(int) - 77).max() <= 3   # flat field ≈ exact
+
+
+def test_jpeg_malformed_and_unsupported_return_none():
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient(24, 16)
+    good = encode_jpeg(img)
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xe0tr") is None
+    assert decode_jpeg(good[:len(good) // 2]) is None     # truncated scan
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2                                     # progressive SOF2
+    assert decode_jpeg(bytes(bad)) is None
+
+
 def test_resize_and_features_from_pixels():
     img = _gradient(64, 48)
     small = resize_nearest(img, 16, 12)
