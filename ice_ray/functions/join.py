@@ -25,9 +25,42 @@ _JOIN_TYPE = {"inner": "inner", "left": "left outer",
               "right": "right outer", "outer": "full outer"}
 
 
+def detect_salt(ds, key: str, num_buckets: int,
+                sample_rows: int = 131_072, threshold: float = 0.125,
+                max_salt: int = 16) -> int:
+    """Sample-based hot-key salt factor: pull the first ``sample_rows``
+    values of ``key`` (one column, partial execution — cheap), and if
+    the most frequent key exceeds ``threshold`` of the sample, return
+    the salt that splits its bucket back to ~one bucket's fair share
+    (``ceil(frac · num_buckets)``, capped).  Returns 1 for balanced
+    keys.  Heuristic caveat (documented, override with an explicit
+    ``salt=``): the sample is the input's FIRST rows, so a hot key
+    clustered entirely in later blocks is missed."""
+    try:
+        batch = (ds.select_columns([key]).limit(sample_rows)
+                 .take_batch(sample_rows, batch_format="pyarrow"))
+    except ValueError:          # take_batch raises on an empty dataset
+        return 1
+    n = batch.num_rows
+    if n == 0:
+        return 1
+    counts = batch.column(key).value_counts()
+    top = pc.max(counts.field("counts")).as_py()
+    frac = top / n
+    if frac <= threshold:
+        return 1
+    return max(1, min(max_salt, -(-int(frac * num_buckets + 0.999))))
+
+
+def _resolve_salt(salt, ds, key, num_buckets):
+    if salt == "auto":
+        return detect_salt(ds, key, num_buckets)
+    return int(salt)
+
+
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
                        how: str = "inner", num_buckets: int = 32,
-                       salt: int = 1):
+                       salt: int | str = 1):
     """→ joined dataset (Acero hash-join semantics per bucket).  Column
     names must be disjoint apart from the keys; both key columns are kept
     in the output (pandas-merge convention).
@@ -37,8 +70,14 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     right side is REPLICATED into all of them, so a key holding half
     the left rows splits into ``salt`` bounded reduce groups instead of
     one giant one.  Cost: right side shuffled ``salt`` times — use when
-    the left is skewed and the right is the smaller side."""
+    the left is skewed and the right is the smaller side.
+    ``salt="auto"`` samples the left key (``detect_salt``) and salts
+    only when one key dominates (resolves to 1 for non-inner joins —
+    salting is inner-only)."""
     join_type = _JOIN_TYPE[how]
+    if salt == "auto" and how != "inner":
+        salt = 1
+    salt = _resolve_salt(salt, left, left_on, num_buckets)
     if salt > 1 and how != "inner":
         raise ValueError("salting supports inner joins only "
                          "(outer semantics would duplicate null-matches)")
@@ -113,7 +152,7 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
               strategy: str = "auto",
               broadcast_max_rows: int = 5_000_000,
               broadcast_max_bytes: int = 512 << 20,
-              salt: int = 1):
+              salt: int | str = 1):
     """As-of join: for each left row, attach the right row with the same
     key whose ``right_ts`` is the LATEST value ≤ ``left_ts`` (backward
     as-of, inner).  Ray Data has no native as-of join; two compositions:
@@ -130,7 +169,8 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
     co-locate in one bucket — per-bucket memory is that bucket's share
     of both sides.  ``salt > 1`` splits each bucket into salt shards
     (left rows round-robin, right rows replicated to every shard) so a
-    single dominant key stays memory-bounded.  The broadcast gate is
+    single dominant key stays memory-bounded; ``salt="auto"`` samples
+    the left key with ``detect_salt`` and salts only under skew.  The broadcast gate is
     row- AND byte-capped (incremental pull — wide right payloads fall
     back to the shuffle path before the driver fills).  Right-side
     non-key columns colliding with left names get ``suffix``."""
@@ -146,6 +186,10 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
             return bcast
         if strategy == "broadcast":
             raise ValueError("right side exceeds the broadcast caps")
+
+    # salting matters only on the shuffle path; resolve "auto" here so
+    # the broadcast fast path never pays the key sample
+    salt = _resolve_salt(salt, left, on, num_buckets)
 
     lschema, rschema = left.schema(), right.schema()
     lnames = list(lschema.names)

@@ -142,3 +142,29 @@ def test_salted_hash_join_equals_unsalted(ray_session):
     b = bucketed_hash_join(lds, rds, "k", "k", num_buckets=8,
                            salt=8).to_pandas()
     pd.testing.assert_frame_equal(_canon(a, ["k", "v"]), _canon(b, ["k", "v"]))
+    # salt="auto" detects this 50%-hot key and still matches
+    c = bucketed_hash_join(lds, rds, "k", "k", num_buckets=8,
+                           salt="auto").to_pandas()
+    pd.testing.assert_frame_equal(_canon(a, ["k", "v"]), _canon(c, ["k", "v"]))
+
+
+def test_detect_salt_heuristic(ray_session):
+    """detect_salt: balanced keys → 1; a dominant key → enough shards
+    to restore a fair per-bucket share (capped)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import detect_salt
+
+    balanced = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(10_000, dtype=np.int64) % 997)}))
+    assert detect_salt(balanced, "k", num_buckets=16) == 1
+
+    skewed = ray.data.from_arrow(pa.table({"k": pa.array(
+        np.concatenate([np.zeros(5000, np.int64),
+                        np.arange(1, 5001, dtype=np.int64)]))}))
+    s = detect_salt(skewed, "k", num_buckets=16)
+    assert 4 <= s <= 16          # ~50% hot → about half the buckets
+
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    assert detect_salt(empty, "k", num_buckets=16) == 1
