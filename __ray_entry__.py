@@ -526,6 +526,36 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(to_fp, batch_format="pyarrow")
 
 
+def _q_media_cross_format_dups(sf_dir: str):
+    """Cross-format image deduplication end-to-end: decode real
+    PPM/PNG/GIF/JPEG payloads of 10 base images (ImageFeatureExtractor
+    actor pool), then embedding-cosine near-dup over the pixel-derived
+    features (hyperplane-LSH candidate buckets + exact per-bucket
+    verification).  The gold (ice_ray/oracle.py) finds pairs with an
+    INDEPENDENT algorithm — brute-force full cosine matrix, no LSH.
+    ``n_planes=2`` suits the 34-vector fixture (few planes → near-zero
+    LSH miss probability; production tables raise it for bucket
+    selectivity)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.oracle import media_dedup_fixture_rows
+    from ice_ray.stages.multimodal import ImageFeatureExtractor
+    from ice_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = ray.data.from_items(media_dedup_fixture_rows())
+    feats = ds.map_batches(ImageFeatureExtractor, batch_format="pyarrow",
+                           batch_size=8, concurrency=(1, 2))
+
+    def to_vec(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch.column("media_id"),
+                         "embedding": batch.column("embedding")})
+
+    vecs = feats.map_batches(to_vec, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(vecs, threshold=0.995, n_planes=2)
+    return pairs.drop_columns(["truncated"])
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio decode → spectral features on deterministic inline WAV
     payloads (16-bit mono sine, 8-bit stereo two-tone) plus a
@@ -685,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "soft_decode": _q_soft_decode,
         "media_features": _q_media_features,
+        "media_cross_format_dups": _q_media_cross_format_dups,
         "audio_features": _q_audio_features,
         "orders_sample": _q_orders_sample,
         "quality_topk": _q_quality_topk,
@@ -910,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
         "event_bootstrap_candidates": _gold_synth("event_bootstrap_candidates"),
         "soft_decode": _gold_synth("soft_decode"),
         "media_features": _gold_synth("media_features"),
+        "media_cross_format_dups": _gold_synth("media_cross_format_dups"),
         "audio_features": _gold_synth("audio_features"),
         # --- gold-parquet oracles keyed by input-table content ---
         "minhash_neardup": _gold_keyed("minhash_neardup", "docs"),

@@ -505,6 +505,77 @@ def audio_fixture_rows() -> list[dict]:
     ]
 
 
+def media_dedup_fixture_rows() -> list[dict]:
+    """Cross-format duplicate fixture: 10 distinct base images, each
+    re-encoded losslessly as PPM + PNG (and GIF for every 3rd base —
+    bases are pre-quantized so the palette is exact), plus a lossy
+    JPEG for every 2nd base.  media_id = base*10 + format, so the
+    expected duplicate groups are the id//10 families."""
+    from .stages.jpeg import encode_jpeg
+    from .stages.multimodal import encode_gif, encode_png, encode_ppm
+
+    def base_img(i: int) -> np.ndarray:
+        x = np.arange(40)[None, :]
+        y = np.arange(30)[:, None]
+        img = np.zeros((30, 40, 3), dtype=np.uint8)
+        img[:, :, 0] = np.clip(x * (2 + i) + i * 17, 0, 255)
+        img[:, :, 1] = np.clip(255 - y * (3 + (i % 4)), 0, 255)
+        img[:, :, 2] = np.clip((x * (i % 3 + 1) + y * 2), 0, 255)
+        return (img // 24) * 24          # <=256 colors → GIF-lossless
+
+    rows = []
+    for i in range(10):
+        img = base_img(i)
+        rows.append({"media_id": i * 10, "kind": "image",
+                     "payload": encode_ppm(img),
+                     "mime": "image/x-portable-pixmap",
+                     "width": 40, "height": 30, "duration_ms": -1})
+        rows.append({"media_id": i * 10 + 1, "kind": "image",
+                     "payload": encode_png(img), "mime": "image/png",
+                     "width": 40, "height": 30, "duration_ms": -1})
+        if i % 2 == 0:
+            rows.append({"media_id": i * 10 + 2, "kind": "image",
+                         "payload": encode_jpeg(img, quality=92),
+                         "mime": "image/jpeg",
+                         "width": 40, "height": 30, "duration_ms": -1})
+        if i % 3 == 0:
+            rows.append({"media_id": i * 10 + 3, "kind": "image",
+                         "payload": encode_gif(img), "mime": "image/gif",
+                         "width": 40, "height": 30, "duration_ms": -1})
+    return rows
+
+
+def gold_media_cross_format_dups(threshold: float = 0.995) -> pd.DataFrame:
+    """INDEPENDENT pair-finding gold for the cross-format dedup query:
+    decode every payload serially, then brute-force the FULL cosine
+    matrix (numpy matmul over all pairs) — no LSH, no buckets.  The
+    engine's LSH-bucketed candidates + per-bucket verification must
+    reproduce exactly these (id1, id2, cosine) rows."""
+    from .stages.multimodal import decode_image, image_features
+
+    rows = media_dedup_fixture_rows()
+    ids, feats = [], []
+    for r in rows:
+        img = decode_image(r["payload"])
+        assert img is not None, r["media_id"]
+        ids.append(r["media_id"])
+        feats.append(image_features(img).astype(np.float64))
+    m = np.stack(feats)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cos = (m / norms) @ (m / norms).T
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            c = round(float(cos[i, j]), 6)
+            if c >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.append((a, b, c))
+    return (pd.DataFrame(out, columns=["id1", "id2", "cosine"])
+            .astype({"id1": "int64", "id2": "int64", "cosine": "float64"})
+            .sort_values(["id1", "id2"]).reset_index(drop=True))
+
+
 def gold_audio_features() -> pd.DataFrame:
     """INDEPENDENT gold: WAVs parsed with the stdlib ``wave`` module (a
     different RIFF parser than stages/multimodal.decode_audio) and band
@@ -875,6 +946,7 @@ SYNTH_GOLD = {
     "soft_decode": gold_soft_decode,
     "media_features": gold_media_features,
     "audio_features": gold_audio_features,
+    "media_cross_format_dups": gold_media_cross_format_dups,
 }
 
 

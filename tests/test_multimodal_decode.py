@@ -269,6 +269,30 @@ def test_media_pipeline_decodes_real_formats(ray_session):
     assert np.array_equal(out, resize_nearest(img_a, 16, 12))
 
 
+def test_media_cross_format_dups(ray_session):
+    """End-to-end multimodal dedup: the same pixels re-encoded as
+    PPM/PNG/GIF/JPEG are found as near-duplicates (LSH + exact verify),
+    matching an INDEPENDENT brute-force full-matrix gold, with no
+    cross-family false positives."""
+    import pandas as pd
+
+    import __ray_entry__ as em
+    from ice_ray.oracle import gold_media_cross_format_dups
+
+    res = em.queries()["media_cross_format_dups"]("unused")
+    df = res.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    gold = gold_media_cross_format_dups()
+    pd.testing.assert_frame_equal(df, gold)
+    # structure: every pair is within one base-image family; lossless
+    # re-encodings (PPM/PNG/GIF) are exact (cosine == 1), JPEG is near
+    assert (df["id1"] // 10 == df["id2"] // 10).all()
+    lossless = df[(df["id1"] % 10 != 2) & (df["id2"] % 10 != 2)]
+    assert (lossless["cosine"] == 1.0).all()
+    jpeg = df[(df["id1"] % 10 == 2) | (df["id2"] % 10 == 2)]
+    assert len(jpeg) > 0 and (jpeg["cosine"] < 1.0).all()
+    assert (jpeg["cosine"] >= 0.995).all()
+
+
 # ---------------------------------------------------------------- audio
 
 def test_wav_roundtrip_and_mono_mix():
