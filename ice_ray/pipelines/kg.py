@@ -224,44 +224,53 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     # edges — identical state.
     from concurrent.futures import ThreadPoolExecutor
 
-    from ..stages.linker import _index_from_mentions, pull_mention_rows
+    from ..stages.linker import (
+        _mention_index_task,
+        build_link_state_refs,
+        mention_dataset,
+    )
 
-    # speculate only when the unfiltered pull CANNOT overflow: mention
-    # rows ≤ 2 × raw edge rows, and count() on the materialized edges is
-    # free metadata.  An overflowing speculative pull would waste a full
-    # scan at exactly the scale where scans are expensive.
-    #
-    # The filtered retry allows more rows: slim (conv, key, name) mention
-    # rows cost ~130 B each on the driver (measured, pandas deep), so the
-    # 12M-row cap bounds the transient pull at ~1.6 GB and the broadcast
-    # MentionIndex (flat int64/int32 arrays + one conv→code dict) at a
-    # fraction of that.  Beyond the cap the bucketed mention exchange
-    # (resolve_pronoun_edges) takes over — conversation-bounded driver
-    # state, like the registry, is the documented limit of the broadcast
-    # strategy; link_strategy="shuffle" is the 10^12-turn path.
-    mention_cap = 2_000_000
-    mention_cap_filtered = 12_000_000
+    # speculate only when the unfiltered mention scan CANNOT overflow:
+    # mention rows ≤ 2 × raw edge rows (a hard bound), and count() on
+    # the materialized edges is free metadata — so under the cap the
+    # speculative scan is never wasted, and it OVERLAPS the link-state
+    # aggregate scan.  The 16M-row cap bounds the mention blocks (slim
+    # (conv, key, name) rows, ~130 B each) and the worker-built
+    # MentionIndex at ~2 GB of object store.  Beyond the cap the
+    # bucketed mention exchange (resolve_pronoun_edges) takes over —
+    # conversation-bounded state, like the registry, is the documented
+    # limit of the broadcast strategy; link_strategy="shuffle" is the
+    # 10^12-turn path.
+    mention_cap = 16_000_000
     speculate = 2 * edges.count() <= mention_cap
-    m_all = None
     if speculate:
+        # refs-only flow: the link-state finish and the mention index
+        # build in Ray tasks and return object refs — NOTHING crosses
+        # the driver (each driver touch — aggregate pull, dict build,
+        # mention concat, index build, ray.put — was seconds of serial
+        # time paid identically at every cluster size)
         with ThreadPoolExecutor(2) as ex:
-            f_state = ex.submit(build_link_state, edges)
-            f_ment = ex.submit(pull_mention_rows, edges, None, mention_cap)
-            registry, canon, pron_convs = f_state.result()
-            m_all = f_ment.result()
-    else:
-        registry, canon, pron_convs = build_link_state(edges)
+            f_state = ex.submit(build_link_state_refs, edges)
+            f_ment = ex.submit(lambda: mention_dataset(edges).materialize())
+            reg_ref, canon_ref, pron_ref = f_state.result()
+            m_ds = f_ment.result()
+        # worker-side index build CHAINED on the link-state finish task
+        # (pron_ref) — the driver never blocks on either; the rewrite
+        # stage's __init__ ray.get waits on (and overlaps with) the
+        # chain.  A pronoun-free corpus yields an empty index and the
+        # fused rewriter's pronoun pass no-ops per batch.
+        ment_ref = _mention_index_task.remote(
+            pron_ref, *m_ds.to_arrow_refs())
+        return edges.map_batches(
+            make_cached_rewriter(FusedLinkRewriter, reg_ref,
+                                 canon_ref, ment_ref),
+            batch_format="pyarrow",
+        )
+    registry, canon, pron_convs = build_link_state(edges)
     mentions = {}
     if pron_convs:
-        if m_all is not None:
-            # filter to pronoun-bearing conversations BEFORE the per-conv
-            # index build (the index loop is conv-count-bounded)
-            mentions = _index_from_mentions(
-                m_all[m_all["conv_id"].isin(pron_convs)])
-        else:
-            # no speculation (or it overflowed) — filtered pull
-            mentions = build_mention_index(edges, pron_convs,
-                                           mention_cap_filtered)
+        # beyond the speculation bound — filtered pull, still capped
+        mentions = build_mention_index(edges, pron_convs, mention_cap)
         if mentions is None:
             # antecedent index exceeds the broadcast cap — fall back to
             # the bucketed mention exchange, then link + canonicalize

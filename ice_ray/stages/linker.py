@@ -23,6 +23,7 @@ import pyarrow as pa
 
 import ray
 
+from ..functions.lookup import HashedStringMap
 from ..nlp.lexicon import PRONOUNS
 
 _PRON_ARR = pa.array(sorted(PRONOUNS))
@@ -89,13 +90,28 @@ class MentionIndex:
         return len(self.gkeys)
 
     @classmethod
-    def from_rows(cls, m: pd.DataFrame | None) -> "MentionIndex":
+    def from_rows(cls, m: pd.DataFrame | None,
+                  conv_set: set | None = None) -> "MentionIndex":
         """(conv_id, _key, _name) frame → index.  Fully vectorized:
-        factorize + lexsort + boundary masks, no per-conversation loop."""
+        factorize + lexsort + boundary masks, no per-conversation loop.
+
+        ``conv_set`` restricts the index to those conversations; the
+        filter runs on the factorized UNIQUES (one membership test per
+        conversation), not per row — a row-level ``Series.isin`` with a
+        10^5-string set over 10^7 mention rows was ~2s of serial driver
+        time for the same result."""
         self = cls()
         if m is None or not len(m):
             return self
         conv_codes, conv_uniq = pd.factorize(m["conv_id"])
+        if conv_set is not None:
+            umask = pd.Index(conv_uniq).isin(conv_set)
+            if not umask.all():
+                keep = umask[conv_codes]
+                m = m[keep]
+                if not len(m):
+                    return self
+                conv_codes, conv_uniq = pd.factorize(m["conv_id"])
         # sort=True → code order == lexicographic name order, so "keep
         # the largest code per (conv, key)" preserves the historical
         # largest-name tie-break
@@ -112,6 +128,61 @@ class MentionIndex:
         self.starts = np.concatenate([[0], change]).astype(np.int64)
         self.codes = nc.astype(np.int64)
         self.pool = np.asarray(name_uniq, dtype=object)
+        self.rank = {cv: i for i, cv in enumerate(conv_uniq)}
+        return self
+
+    @classmethod
+    def from_arrow(cls, t: pa.Table | None,
+                   conv_set: set | None = None) -> "MentionIndex":
+        """Arrow-native build: dictionary-encode both string columns in
+        C++ and lexsort the integer codes — no pandas object-array
+        factorize over the mention rows (that was most of the build
+        time at 10^7 rows).  Semantically identical to ``from_rows``:
+        UTF-8 byte order equals Python code-point order, so the
+        sorted-dictionary name ranks reproduce ``factorize(sort=True)``."""
+        import pyarrow.compute as pc
+
+        self = cls()
+        if t is None or t.num_rows == 0:
+            return self
+        conv_enc = pc.dictionary_encode(
+            t.column("conv_id").combine_chunks())
+        conv_codes = conv_enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        conv_uniq = conv_enc.dictionary.to_pylist()
+        keys = t.column("_key").combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        name_enc = pc.dictionary_encode(t.column("_name").combine_chunks())
+        name_codes = name_enc.indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if conv_set is not None:
+            umask = np.fromiter((c in conv_set for c in conv_uniq),
+                                bool, len(conv_uniq))
+            if not umask.all():
+                keep = umask[conv_codes]
+                if not keep.any():
+                    return self
+                remap = np.cumsum(umask) - 1
+                conv_codes = remap[conv_codes[keep]]
+                keys, name_codes = keys[keep], name_codes[keep]
+                conv_uniq = [c for c, m in zip(conv_uniq, umask) if m]
+        # rank names by lexicographic order of the dictionary
+        order = pc.sort_indices(name_enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank_of = np.empty(len(order), np.int64)
+        rank_of[order] = np.arange(len(order))
+        nc = rank_of[name_codes]
+        sort_idx = np.lexsort((nc, keys, conv_codes))
+        c, k, nc = conv_codes[sort_idx], keys[sort_idx], nc[sort_idx]
+        last = np.concatenate([(c[1:] != c[:-1]) | (k[1:] != k[:-1]), [True]])
+        c, k, nc = c[last], k[last], nc[last]
+        self.gkeys = c * _KEY_SHIFT + k
+        change = np.flatnonzero(c[1:] != c[:-1]) + 1
+        self.starts = np.concatenate([[0], change]).astype(np.int64)
+        self.codes = nc
+        self.pool = np.asarray(
+            name_enc.dictionary.take(pa.array(order)).to_pylist(),
+            dtype=object)
         self.rank = {cv: i for i, cv in enumerate(conv_uniq)}
         return self
 
@@ -209,10 +280,23 @@ def _mention_partial(batch: pa.Table, convs) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _index_from_mentions(m: pd.DataFrame) -> MentionIndex:
+def _index_from_mentions(m: pd.DataFrame,
+                         conv_set: set | None = None) -> MentionIndex:
     """(conv, _key, _name) rows → :class:`MentionIndex` (ties on the same
     (conv, _key) keep the lexicographically largest name)."""
-    return MentionIndex.from_rows(m)
+    return MentionIndex.from_rows(m, conv_set=conv_set)
+
+
+def mention_dataset(edges: "ray.data.Dataset",
+                    conv_set: set | None = None) -> "ray.data.Dataset":
+    """Slim (conv_id, _key, _name) mention rows as a (lazy) Dataset;
+    ``conv_set`` filters map-side."""
+    conv_ref = ray.put(conv_set)
+
+    def mention_lite(batch: pa.Table) -> pa.Table:
+        return _mention_partial(batch, ray.get(conv_ref))
+
+    return edges.map_batches(mention_lite, batch_format="pyarrow")
 
 
 def pull_mention_rows(edges: "ray.data.Dataset", conv_set: set | None,
@@ -225,16 +309,21 @@ def pull_mention_rows(edges: "ray.data.Dataset", conv_set: set | None,
     Returns None when the pull would exceed ``mention_broadcast_max``
     rows — the caller falls back to a filtered retry or the bucketed
     mention exchange."""
-    conv_ref = ray.put(conv_set)
-
-    def mention_lite(batch: pa.Table) -> pa.Table:
-        return _mention_partial(batch, ray.get(conv_ref))
-
-    m = (edges.map_batches(mention_lite, batch_format="pyarrow")
+    m = (mention_dataset(edges, conv_set)
          .limit(mention_broadcast_max + 1).to_pandas())
     if len(m) > mention_broadcast_max:
         return None
     return m
+
+
+@ray.remote
+def _mention_index_task(conv_set, *tables):
+    """Worker-side :class:`MentionIndex` build — the mention blocks and
+    the finished index never visit the driver (the returned ref is fed
+    straight to the rewrite stage's constructor)."""
+    tables = [t for t in tables if t.num_columns]  # empty shuffle parts
+    t = pa.concat_tables(tables) if tables else None
+    return MentionIndex.from_arrow(t, conv_set=conv_set)
 
 
 def build_mention_index(edges: "ray.data.Dataset", conv_set: set | None,
@@ -421,6 +510,39 @@ def _norm_surface(s: str) -> str:
     return " ".join(s.lower().split())
 
 
+def _norm_surface_vec(s: pd.Series) -> pd.Series:
+    """Vectorized ``_norm_surface`` (C-regex whitespace collapse — must
+    stay semantically identical to the scalar form)."""
+    return (s.str.lower()
+             .str.replace(r"\s+", " ", regex=True)
+             .str.strip())
+
+
+def _canon_from_counts(surf: np.ndarray, n: np.ndarray) -> dict[str, str]:
+    """(surface, count) rows (surfaces may repeat) → {norm: canonical
+    surface} for AMBIGUOUS norms only.  Most frequent wins, ties →
+    lexicographically smallest surface.
+
+    Norms with a single surface variant are DROPPED: the rewrite probes
+    ``canon.get(norm(v), v)`` and every probe surface is in the counted
+    population (S surfaces + registry-resolved bares + pronoun-resolved
+    antecedents, which are themselves mention surfaces), so a
+    single-variant norm always falls back to the identity — dropping it
+    shrinks the broadcast map to the ambiguous tail and removes a
+    Python loop over every distinct surface from the driver's critical
+    path."""
+    df = (pd.DataFrame({"surf": surf, "n": n})
+          .groupby("surf", sort=False)["n"].sum().reset_index())
+    df["norm"] = _norm_surface_vec(df["surf"])
+    df = df[df["norm"].duplicated(keep=False)]
+    if not len(df):
+        return {}
+    df = df.sort_values(["norm", "n", "surf"],
+                        ascending=[True, False, True], kind="mergesort")
+    top = df.drop_duplicates("norm", keep="first")
+    return dict(zip(top["norm"], top["surf"]))
+
+
 # --- broadcast-registry linking (fast path) -------------------------------
 # Builds a {(conv_id, surname): full_name} registry via one SMALL aggregate
 # (distinct registry rows, not edges) and resolves bare surnames in a plain
@@ -447,19 +569,15 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
     })
 
 
-def build_link_state(edges: "ray.data.Dataset"):
-    """ONE pass over edges → (surname registry, canonical map, set of
-    pronoun-bearing conversations).
-
-    Emits four partial row kinds from a single map_batches —
+def _link_state_agg(edges: "ray.data.Dataset"):
+    """The link-state aggregate: ONE pass over edges emitting four
+    partial row kinds from a single map_batches —
     R: distinct (conv, surname, full) registry rows;
     S: non-bare surface counts; B: bare (conv, surname) counts;
     P: distinct conversations with a pronoun argument (consumed by the
     fused coref rewrite, so no separate tag/filter barrier is needed) —
-    reduces them in one bucketed aggregate, and finishes on the driver
-    (registry from R; canon counts = S + registry-resolved B).
-    Pronoun surfaces are excluded from R/S/B (they are resolved by the
-    coref rewrite)."""
+    reduced in one bucketed aggregate.  Pronoun surfaces are excluded
+    from R/S/B (they are resolved by the coref rewrite)."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -544,13 +662,16 @@ def build_link_state(edges: "ray.data.Dataset"):
                              "n": pa.array([], pa.int64())})
         return pa.concat_tables(tables)
 
-    agg = grouped_aggregate(
+    return grouped_aggregate(
         edges.map_batches(partial, batch_format="pyarrow"),
         keys=["kind", "k1", "k2", "k3"], specs=[("n", "sum")],
         rename={"n_sum": "n"})
-    pdf = agg.to_pandas()
+
+
+def _finish_link_state(pdf: pd.DataFrame):
+    """Reduced link-state rows → (registry, canon, pron_convs)."""
     if pdf.empty or "kind" not in pdf.columns:
-        return {}, {}, set()
+        return HashedStringMap(), {}, set()
 
     # registry from R rows: exactly one full per (conv, surname); keyed
     # by "conv\x01surname" (string keys build and probe faster than
@@ -561,38 +682,62 @@ def build_link_state(edges: "ray.data.Dataset"):
     # serially on the driver and was ~75% of build_link_state at 10^6+
     # registry rows).
     r = pdf[pdf["kind"] == "R"]
-    registry: dict[str, str] = {}
+    registry = HashedStringMap()
     if len(r):
         key = (r["k1"] + "\x01" + r["k2"]).to_numpy()
         codes, uniq = pd.factorize(key)
         once = np.bincount(codes) == 1
         mask = once[codes]
-        registry = dict(zip(key[mask], r["k3"].to_numpy()[mask]))
+        registry = HashedStringMap(key[mask], r["k3"].to_numpy()[mask])
 
     # canonical counts: S surfaces + registry-resolved B surnames —
-    # vectorized (the B resolution maps through the registry as a
-    # string-keyed Series; loops below run over distinct surfaces only)
+    # fully vectorized; the finish keeps only ambiguous norms
+    # (_canon_from_counts), so no per-surface Python loop survives on
+    # the driver's critical path
     s = pdf[pdf["kind"] == "S"]
     parts = [pd.DataFrame({"surf": s["k1"].to_numpy(),
                            "n": s["n"].to_numpy()})]
     b = pdf[pdf["kind"] == "B"]
     if len(b):
-        bkey = b["k1"] + "\x01" + b["k2"]
-        resolved = bkey.map(registry).fillna(b["k2"])
-        parts.append(pd.DataFrame({"surf": resolved.to_numpy(),
+        bkey = (b["k1"] + "\x01" + b["k2"]).to_numpy()
+        resolved = registry.lookup(bkey, b["k2"].to_numpy())
+        parts.append(pd.DataFrame({"surf": resolved,
                                    "n": b["n"].to_numpy()}))
     counts_df = pd.concat(parts, ignore_index=True)
-    counts_df = counts_df.groupby("surf", sort=False)["n"].sum()
-    best: dict[str, tuple[int, str]] = {}
-    for surface, n in counts_df.items():
-        norm = _norm_surface(surface)
-        n = int(n)
-        cur = best.get(norm)
-        if cur is None or (-n, surface) < (-cur[0], cur[1]):
-            best[norm] = (n, surface)
-    canon = {norm: surf for norm, (_, surf) in best.items()}
+    canon = _canon_from_counts(counts_df["surf"].to_numpy(),
+                               counts_df["n"].to_numpy())
     pron_convs = set(pdf.loc[pdf["kind"] == "P", "k1"])
     return registry, canon, pron_convs
+
+
+@ray.remote(num_returns=3)
+def _finish_link_state_task(*tables):
+    """Worker-side link-state finish: the reduced aggregate blocks are
+    concatenated and finished on a worker, so the 10^6-row registry is
+    built and stored in the object store WITHOUT ever visiting the
+    driver (no to_pandas pull, no driver finish, no ray.put) — that
+    finish was ~3s of serial driver time per run at every cluster
+    size."""
+    tables = [t for t in tables if t.num_columns]  # empty shuffle parts
+    pdf = pa.concat_tables(tables).to_pandas() if tables \
+        else pd.DataFrame()
+    return _finish_link_state(pdf)
+
+
+def build_link_state(edges: "ray.data.Dataset"):
+    """Driver-side link state: aggregate → (registry, canon,
+    pron_convs) as plain objects (used by the non-speculative path and
+    tests)."""
+    return _finish_link_state(_link_state_agg(edges).to_pandas())
+
+
+def build_link_state_refs(edges: "ray.data.Dataset"):
+    """Link state as OBJECT REFS: runs the aggregate, then finishes in
+    a Ray task → (registry_ref, canon_ref, pron_convs_ref).  The caller
+    ray.gets only the (small) pron-conv set; registry/canon refs feed
+    the rewrite stage directly."""
+    refs = _link_state_agg(edges).materialize().to_arrow_refs()
+    return _finish_link_state_task.remote(*refs)
 
 
 class LinkCanonRewriter:
@@ -602,10 +747,15 @@ class LinkCanonRewriter:
     is the separate ``resolve_pronoun_edges`` pass.)"""
 
     def __init__(self, registry_ref, canon_ref):
-        self.registry = (ray.get(registry_ref)
-                         if isinstance(registry_ref, ray.ObjectRef) else registry_ref)
-        self.canon = (ray.get(canon_ref)
-                      if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+        reg = (ray.get(registry_ref)
+               if isinstance(registry_ref, ray.ObjectRef) else registry_ref)
+        self.registry = (reg if isinstance(reg, HashedStringMap)
+                         else HashedStringMap(reg))
+        canon = (ray.get(canon_ref)
+                 if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+        # small (ambiguous-norm) map as a Series: its index hashtable is
+        # built once and cached across batches, unlike Series.map(dict)
+        self._canon = pd.Series(canon, dtype=object)
 
     def _link_col(self, batch: pa.Table, col: str, tcol: str) -> pa.Array:
         import pyarrow.compute as pc
@@ -617,22 +767,25 @@ class LinkCanonRewriter:
         if idx.size == 0:
             return vals
         ia = pa.array(idx)
-        # vectorized registry probe: C-level string concat + dict map
-        convs = pd.Series(pc.take(batch.column("conv_id"), ia).to_pandas())
-        bvals = pd.Series(pc.take(vals, ia).to_pandas())
-        resolved = (convs + "\x01" + bvals).map(self.registry).fillna(bvals)
+        # vectorized registry probe: Arrow string concat + flat-array map
+        conv = batch.column("conv_id").combine_chunks()
+        probe = pc.binary_join_element_wise(
+            pc.take(conv, ia), pc.take(vals, ia),
+            "\x01").to_numpy(zero_copy_only=False)
+        bvals = pc.take(vals, ia).to_numpy(zero_copy_only=False)
         out = vals.to_numpy(zero_copy_only=False).copy()
-        out[idx] = resolved.to_numpy()
+        out[idx] = self.registry.lookup(probe, bvals)
         return pa.array(out, pa.string())
 
     def _canon_col(self, col: pa.Array) -> pa.Array:
         import pyarrow.compute as pc
 
         enc = pc.dictionary_encode(col)
-        uniq = enc.dictionary.to_pylist()
-        mapped = pa.array([self.canon.get(_norm_surface(v), v) for v in uniq],
-                          pa.string())
-        return pc.take(mapped, enc.indices)
+        if len(self._canon) == 0:
+            return col
+        uniq = pd.Series(enc.dictionary.to_pandas())
+        mapped = _norm_surface_vec(uniq).map(self._canon).fillna(uniq)
+        return pc.take(pa.array(mapped.to_numpy(), pa.string()), enc.indices)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx_s = batch.schema.get_field_index("subj")
@@ -711,17 +864,16 @@ def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
     """Distinct surfaces → canonical form.  The per-surface aggregate is
     tiny (distinct entity surfaces, not edges); computed with a groupby
     over (norm_key, surface) counts and reduced on the driver."""
+    import pyarrow.compute as pc
+
     def surface_counts(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
+        tables = []
         for col in ("subj", "obj"):
-            for v in batch.column(col).to_pylist():
-                c[v] += 1
-        ks = list(c.keys())
-        return pa.table({
-            "surface": pa.array(ks, pa.string()),
-            "n": pa.array([c[k] for k in ks], pa.int64()),
-        })
+            vc = pc.value_counts(batch.column(col).combine_chunks())
+            tables.append(pa.table({
+                "surface": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64())}))
+        return pa.concat_tables(tables)
 
     from ..functions.shuffle import grouped_aggregate
 
@@ -729,14 +881,9 @@ def build_canonical_map(edges: "ray.data.Dataset") -> dict[str, str]:
         edges.map_batches(surface_counts, batch_format="pyarrow"),
         keys=["surface"], specs=[("n", "sum")], rename={"n_sum": "n"})
     pdf = counts.to_pandas()  # distinct surfaces only — small by construction
-    pdf["norm"] = pdf["surface"].map(_norm_surface)
-    best: dict[str, tuple[int, str]] = {}
-    for surface, n, norm in zip(pdf["surface"], pdf["n"], pdf["norm"]):
-        cur = best.get(norm)
-        # most frequent wins; ties → lexicographically smallest surface
-        if cur is None or (-n, surface) < (-cur[0], cur[1]):
-            best[norm] = (int(n), surface)
-    return {norm: surf for norm, (_, surf) in best.items()}
+    # most frequent wins; ties → lexicographically smallest surface;
+    # single-variant norms dropped (identity under the .get fallback)
+    return _canon_from_counts(pdf["surface"].to_numpy(), pdf["n"].to_numpy())
 
 
 class CanonicalRewriter:
@@ -745,18 +892,21 @@ class CanonicalRewriter:
     heavily), not per row."""
 
     def __init__(self, canon_ref):
-        self.canon = (ray.get(canon_ref)
-                      if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+        canon = (ray.get(canon_ref)
+                 if isinstance(canon_ref, ray.ObjectRef) else canon_ref)
+        self._canon = pd.Series(canon, dtype=object)
 
     def _rewrite(self, col: pa.ChunkedArray) -> pa.Array:
         import pyarrow.compute as pc
 
-        enc = pc.dictionary_encode(col.combine_chunks()
-                                   if isinstance(col, pa.ChunkedArray) else col)
-        uniq = enc.dictionary.to_pylist()
-        mapped = pa.array([self.canon.get(_norm_surface(v), v) for v in uniq],
-                          pa.string())
-        return pc.take(mapped, enc.indices)
+        arr = (col.combine_chunks()
+               if isinstance(col, pa.ChunkedArray) else col)
+        if len(self._canon) == 0:
+            return arr
+        enc = pc.dictionary_encode(arr)
+        uniq = pd.Series(enc.dictionary.to_pandas())
+        mapped = _norm_surface_vec(uniq).map(self._canon).fillna(uniq)
+        return pc.take(pa.array(mapped.to_numpy(), pa.string()), enc.indices)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         idx_s = batch.schema.get_field_index("subj")
