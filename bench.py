@@ -110,6 +110,39 @@ def run_once() -> dict:
     }
 
 
+def run_ceiling() -> dict:
+    """Raw-task machine ceiling probe: embarrassingly parallel CPU-bound
+    Ray tasks, no data movement — the hardware's upper bound for any
+    pipeline's scaling efficiency at this num_cpus.  Run at both
+    --scaling levels, it contextualizes the pipeline efficiency: on a
+    shared VM the 4x-cpu leg loses disproportionately to noisy
+    neighbors and memory-bandwidth contention that a real multi-node
+    cluster (which adds bandwidth with nodes) does not share."""
+    import ray
+
+    units = int(os.environ.get("GRAFT_CEILING_UNITS", "96"))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+
+    @ray.remote
+    def busy(seed: int) -> int:
+        import numpy as np
+        acc = 0
+        a = np.random.default_rng(seed).integers(0, 1 << 30, 200_000)
+        for _ in range(60):
+            acc ^= int((a * 2654435761 % 1000003).sum())
+            a = (a * 48271) % (1 << 31)
+        return acc
+
+    ray.get([busy.remote(i) for i in range(NUM_CPUS)])  # warm workers
+    t0 = time.time()
+    ray.get([busy.remote(i) for i in range(units)])
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"metric": "ceiling_units_per_sec",
+            "value": round(units / dt, 2), "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     # bigger input for the scaling measurement so per-execution fixed
     # overheads don't mask the compute scaling (same input at both
@@ -118,18 +151,26 @@ def run_scaling() -> dict:
     scale_turns = int(os.environ.get("GRAFT_SCALE_TURNS",
                                      str(max(N_TURNS, 8_000_000))))
 
-    def sub(ncpu: int) -> dict:
+    def sub(ncpu: int, *extra_args: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_QUERIES="0",
                    GRAFT_BENCH_TURNS=str(scale_turns),
                    GRAFT_EXTRACT_CACHE=os.environ.get("GRAFT_EXTRACT_CACHE", "0"))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              *extra_args],
                              env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = sub(lo), sub(hi)
+    # bracket each pipeline leg with a ceiling probe at the same level:
+    # the hardware bound moves with VM noise, so each scaling report
+    # carries the window it was measured in
+    c_lo = sub(lo, "--ceiling")["value"]
+    r_lo = sub(lo)
+    c_hi = sub(hi, "--ceiling")["value"]
+    r_hi = sub(hi)
     speedup = r_lo["value"] / r_hi["value"]
     eff = speedup / (hi / lo)
+    ceiling_eff = round(c_hi / (c_lo * hi / lo), 3)
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -138,6 +179,9 @@ def run_scaling() -> dict:
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "ceiling_lo": c_lo, "ceiling_hi": c_hi,
+        "ceiling_efficiency": ceiling_eff,
+        "efficiency_vs_ceiling": round(eff / ceiling_eff, 3) if ceiling_eff else None,
         "turns": scale_turns, "sf": SF_DIR,
     }
     _record_baseline(result)
@@ -150,12 +194,15 @@ def _record_baseline(result: dict) -> None:
     lo, hi = result["cpus_lo"], result["cpus_hi"]
     block = (f"\n{marker}\n\n"
              f"Same job, same input, fresh processes at N={lo} and 4N={hi} cpus\n"
-             f"(`ray.init(num_cpus=...)`); efficiency = speedup / (hi/lo).\n\n"
-             f"| turns | sec @{lo} cpus | sec @{hi} cpus | turns/s @{lo} | turns/s @{hi} | efficiency |\n"
-             f"|---|---|---|---|---|---|\n"
+             f"(`ray.init(num_cpus=...)`); efficiency = speedup / (hi/lo).\n"
+             f"`ceiling` = raw CPU-bound Ray tasks at the same levels (the\n"
+             f"hardware/VM-window bound on any pipeline's efficiency).\n\n"
+             f"| turns | sec @{lo} cpus | sec @{hi} cpus | turns/s @{lo} | turns/s @{hi} | efficiency | ceiling | eff/ceiling |\n"
+             f"|---|---|---|---|---|---|---|---|\n"
              f"| {result['turns']} | {result['sec_lo']} | {result['sec_hi']} "
              f"| {result['turns_per_sec_lo']} | {result['turns_per_sec_hi']} "
-             f"| {result['value']} |\n")
+             f"| {result['value']} | {result['ceiling_efficiency']} "
+             f"| {result['efficiency_vs_ceiling']} |\n")
     try:
         text = open(path).read()
         if marker in text:
@@ -168,7 +215,9 @@ def _record_baseline(result: dict) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--ceiling" in sys.argv:
+        print(json.dumps(run_ceiling()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_once()))
