@@ -19,33 +19,77 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+
 from .shuffle import hash_mod
 
 _JOIN_TYPE = {"inner": "inner", "left": "left outer",
               "right": "right outer", "outer": "full outer"}
 
 
+@ray.remote
+def _block_key_counts(key: str, table):
+    """Per-block key histogram for detect_salt: top-64 value counts +
+    row total — a tiny result, so sampled blocks never reach the
+    driver whole."""
+    if table.num_rows == 0 or key not in table.column_names:
+        return [], 0
+    vc = table.column(key).value_counts()
+    order = pc.array_sort_indices(vc.field("counts"),
+                                  order="descending")[:64]
+    top = vc.take(order)
+    return (list(zip(top.field("values").to_pylist(),
+                     top.field("counts").to_pylist())),
+            table.num_rows)
+
+
 def detect_salt(ds, key: str, num_buckets: int,
                 sample_rows: int = 131_072, threshold: float = 0.125,
-                max_salt: int = 16) -> int:
-    """Sample-based hot-key salt factor: pull the first ``sample_rows``
-    values of ``key`` (one column, partial execution — cheap), and if
-    the most frequent key exceeds ``threshold`` of the sample, return
-    the salt that splits its bucket back to ~one bucket's fair share
+                max_salt: int = 16, sample_blocks: int = 8) -> int:
+    """Sample-based hot-key salt factor: if the most frequent key
+    exceeds ``threshold`` of the sample, return the salt that splits
+    its bucket back to ~one bucket's fair share
     (``ceil(frac · num_buckets)``, capped).  Returns 1 for balanced
-    keys.  Heuristic caveat (documented, override with an explicit
-    ``salt=``): the sample is the input's FIRST rows, so a hot key
-    clustered entirely in later blocks is missed."""
-    try:
-        batch = (ds.select_columns([key]).limit(sample_rows)
-                 .take_batch(sample_rows, batch_format="pyarrow"))
-    except ValueError:          # take_batch raises on an empty dataset
-        return 1
-    n = batch.num_rows
-    if n == 0:
-        return 1
-    counts = batch.column(key).value_counts()
-    top = pc.max(counts.field("counts")).as_py()
+    keys.
+
+    Sampling: a MATERIALIZED input samples ``sample_blocks`` blocks
+    spread evenly across the dataset (per-block top-64 histograms
+    computed worker-side — no positional bias, no driver pull of row
+    data).  A lazy input falls back to the first ``sample_rows`` (a
+    partial execution — cheap, but a hot key clustered entirely in
+    later blocks is missed; override with an explicit ``salt=``)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    if isinstance(ds, rd.dataset.MaterializedDataset):
+        refs = ds.to_arrow_refs()
+        if not refs:
+            return 1
+        k = min(len(refs), sample_blocks)
+        idx = sorted(set(np.linspace(0, len(refs) - 1, k).astype(int)))
+        parts = ray.get([_block_key_counts.remote(key, refs[i])
+                         for i in idx])
+        totals: dict = {}
+        n = 0
+        for pairs, rows in parts:
+            n += rows
+            for v, c in pairs:
+                totals[v] = totals.get(v, 0) + c
+        if n == 0 or not totals:
+            return 1
+        top = max(totals.values())
+    else:
+        try:
+            batch = (ds.select_columns([key]).limit(sample_rows)
+                     .take_batch(sample_rows, batch_format="pyarrow"))
+        except ValueError:      # take_batch raises on an empty dataset
+            return 1
+        n = batch.num_rows
+        if n == 0:
+            return 1
+        counts = batch.column(key).value_counts()
+        top = pc.max(counts.field("counts")).as_py()
     frac = top / n
     if frac <= threshold:
         return 1

@@ -168,3 +168,28 @@ def test_detect_salt_heuristic(ray_session):
 
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     assert detect_salt(empty, "k", num_buckets=16) == 1
+
+
+def test_detect_salt_materialized_spread_sample(ray_session):
+    """A materialized input samples blocks ACROSS the dataset: a hot
+    key living only in the LAST blocks is still detected (the lazy
+    first-rows fallback would miss it)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import detect_salt
+
+    # 8 blocks: first 4 balanced, last 4 all-hot
+    parts = [pa.table({"k": pa.array(
+        np.arange(i * 1000, (i + 1) * 1000, dtype=np.int64))})
+        for i in range(4)]
+    parts += [pa.table({"k": pa.array(np.full(1000, -7, np.int64))})
+              for _ in range(4)]
+    ds = ray.data.from_arrow_refs([ray.put(p) for p in parts]).materialize()
+    s = detect_salt(ds, "k", num_buckets=16)
+    assert s > 1
+
+    # balanced materialized input still resolves to 1
+    bal = ray.data.from_arrow(pa.table(
+        {"k": pa.array(np.arange(8000, dtype=np.int64) % 997)})).materialize()
+    assert detect_salt(bal, "k", num_buckets=16) == 1
