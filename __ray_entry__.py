@@ -661,6 +661,22 @@ def _q_knn_lsh(sf_dir: str):
         batch_format="pyarrow").select_columns(["vec_id", "label", "bucket"])
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition metrics (repetition-removal
+    quality filter)."""
+    from ice_ray.stages.textstats import repetition_stats
+    ds = _docs(sf_dir).map_batches(repetition_stats, batch_format="pyarrow")
+    ds = _round_col(ds, "dup_word_frac")
+    return _round_col(ds, "dup_2gram_frac")
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the benchmark subset (doc_id % 50 == 0)."""
+    from ice_ray.stages.dedup import decontaminate
+    return decontaminate(_docs(sf_dir), n=8, bench_mod=50)
+
+
 def entry() -> Any:
     """Flagship: sf0.001 documents adapted to the transcripts schema,
     unioned with the synthetic template corpus, through the full KG
@@ -719,6 +735,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "orders_sample": _q_orders_sample,
         "quality_topk": _q_quality_topk,
+        "doc_repetition": _q_doc_repetition,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -955,4 +973,47 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _gold_keyed("embedding_neardup", "emb"),
         "approx_distinct_users": _gold_keyed("approx_distinct_users",
                                              "events"),
+        # --- true ANSI-SQL oracles over list kernels ---
+        "doc_repetition": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 1), ' ') AS g
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(w) - 1, 0))) AS i) t),
+            g2 AS (SELECT doc_id, count(DISTINCT g) AS d2,
+                          count(*) AS t2
+                   FROM grams GROUP BY doc_id)
+            SELECT words.doc_id,
+                   len(w)::BIGINT AS n_words,
+                   round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6)
+                       AS dup_word_frac,
+                   coalesce(round(1.0 - d2::DOUBLE / t2, 6), 0.0)
+                       AS dup_2gram_frac
+            FROM words LEFT JOIN g2 USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS g
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(w) - 7, 0))) AS i) t),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            hits AS (SELECT grams.doc_id,
+                            count(DISTINCT grams.g) AS contaminated_grams
+                     FROM grams JOIN bench USING (g)
+                     WHERE grams.doc_id % 50 <> 0
+                     GROUP BY grams.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.contaminated_grams, 0)::BIGINT
+                       AS contaminated_grams,
+                   coalesce(h.contaminated_grams, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 <> 0
+        """,
     }

@@ -524,3 +524,122 @@ def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
     if not s1 and not s2:
         return 1.0
     return len(s1 & s2) / len(s1 | s2)
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+def _doc_gram_set(text: str, n: int) -> set:
+    w = (text or "").split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def decontaminate(docs, n: int = 8, bench_mod: int = 50,
+                  text_col: str = "text",
+                  strategy: str = "broadcast",
+                  num_buckets: int = 32):
+    """Benchmark decontamination — the training-set hygiene op of every
+    large-scale LLM pipeline: flag training documents that share any
+    word ``n``-gram with a benchmark/eval subset (here the deterministic
+    stand-in ``doc_id % bench_mod == 0``).
+
+    ``strategy="broadcast"`` (default): the benchmark's distinct
+    n-grams become a frozenset broadcast once via ``ray.put``; each
+    training batch intersects per document map-side.  Right whenever
+    the eval set is eval-set-sized (MMLU/GSM8K etc. are ≤ 10^7 grams).
+
+    ``strategy="join"``: the open-web-scale path when the benchmark
+    itself is huge — distinct (doc_id, gram) rows explode from the
+    training side, distinct grams from the benchmark side, bucketed
+    hash semi-join on gram, then a per-doc sum with zero rows unioned
+    in so uncontaminated docs still appear.
+
+    Output: (doc_id, contaminated_grams, contaminated) for
+    NON-benchmark docs; ``contaminated_grams`` counts DISTINCT shared
+    grams (SQL-oracle-reproducible)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.shuffle import grouped_aggregate
+
+    def _mod_filter(batch: pa.Table, want_bench: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array((ids % bench_mod == 0) == want_bench))
+
+    bench = docs.map_batches(_mod_filter, batch_format="pyarrow",
+                             fn_kwargs={"want_bench": True})
+    train = docs.map_batches(_mod_filter, batch_format="pyarrow",
+                             fn_kwargs={"want_bench": False})
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        out: set = set()
+        for text in batch.column(text_col).to_pylist():
+            out |= _doc_gram_set(text, n)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    if strategy == "broadcast":
+        gset = frozenset(
+            bench.map_batches(bench_grams, batch_format="pyarrow")
+                 .to_pandas()["gram"])
+        ref = ray.put(gset)
+
+        def score(batch: pa.Table) -> pa.Table:
+            bs = ray.get(ref)
+            counts = [len(_doc_gram_set(t, n) & bs)
+                      for t in batch.column(text_col).to_pylist()]
+            arr = pa.array(counts, pa.int64())
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "contaminated_grams": arr,
+                "contaminated": pc.greater(arr, 0),
+            })
+
+        return train.map_batches(score, batch_format="pyarrow")
+
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    from ..functions.join import bucketed_hash_join
+
+    # distinct bench grams (bench_grams dedupes per batch only)
+    bgrams = grouped_aggregate(
+        bench.map_batches(bench_grams, batch_format="pyarrow"),
+        keys=["gram"], specs=[("gram", "count")],
+        num_buckets=num_buckets).drop_columns(["gram_count"])
+
+    def train_grams(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            for g in _doc_gram_set(text, n):   # distinct per doc
+                ids.append(did)
+                grams.append(g)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    hits = bucketed_hash_join(
+        train.map_batches(train_grams, batch_format="pyarrow"),
+        bgrams, "gram", "gram", num_buckets=num_buckets)
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "nc": pa.array([1] * batch.num_rows, pa.int64())})
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "nc": pa.array([0] * batch.num_rows, pa.int64())})
+
+    counted = grouped_aggregate(
+        hits.map_batches(hit_rows, batch_format="pyarrow").union(
+            train.map_batches(zero_rows, batch_format="pyarrow")),
+        keys=["doc_id"], specs=[("nc", "sum")],
+        num_buckets=num_buckets, rename={"nc_sum": "contaminated_grams"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "contaminated",
+            pc.greater(batch.column("contaminated_grams"), 0))
+
+    return counted.map_batches(finish, batch_format="pyarrow")

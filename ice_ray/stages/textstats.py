@@ -233,3 +233,28 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         fps.append(hashlib.md5(norm.encode()).hexdigest())
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fp": pa.array(fps, pa.string())})
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style within-document repetition metrics (the "repetition
+    removal" quality filter of large-scale LLM data pipelines):
+    duplicate-word fraction and duplicate-2-gram fraction per document.
+
+    Tokens are literal single-space splits so the metric is
+    reproducible in ANSI SQL (``string_split(text, ' ')``); the per-doc
+    kernel is C-level set construction, same shape as quality_score."""
+    ids = batch.column("doc_id")
+    n_words, dupw, dup2 = [], [], []
+    for text in batch.column(text_col).to_pylist():
+        w = (text or "").split(" ")
+        n = len(w)
+        n_words.append(n)
+        dupw.append(1.0 - len(set(w)) / n if n else 0.0)
+        dup2.append(1.0 - len(set(zip(w, w[1:]))) / (n - 1)
+                    if n > 1 else 0.0)
+    return pa.table({
+        "doc_id": ids,
+        "n_words": pa.array(n_words, pa.int64()),
+        "dup_word_frac": pa.array(dupw, pa.float64()),
+        "dup_2gram_frac": pa.array(dup2, pa.float64()),
+    })

@@ -2,6 +2,7 @@
 dedup family, multi-query similarity search."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -234,3 +235,48 @@ def test_minhash_exact_verify(ray_session):
         assert got[(0, 1)] == 1.0
         assert got[(0, 2)] == round(ngram_jaccard(base, docs[2]["text"]), 6)
         assert (0, 3) not in got
+
+
+def test_repetition_stats_edges(ray_session):
+    import pyarrow as pa
+
+    from ice_ray.stages.textstats import repetition_stats
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a a a", "a b c d", "", "solo"], pa.string()),
+    })
+    out = repetition_stats(batch).to_pandas().set_index("doc_id")
+    assert out.loc[1, "dup_word_frac"] == 0.75          # 1 distinct of 4
+    assert out.loc[1, "dup_2gram_frac"] == pytest.approx(1 - 1 / 3)
+    assert out.loc[2, "dup_word_frac"] == 0.0
+    assert out.loc[2, "dup_2gram_frac"] == 0.0
+    assert out.loc[3, "n_words"] == 1                   # '' splits to ['']
+    assert out.loc[4, "dup_2gram_frac"] == 0.0          # no grams
+
+
+def test_decontaminate_strategies_and_semantics(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.dedup import decontaminate
+
+    bench_text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 50, 51], pa.int64()),
+        "text": pa.array([
+            bench_text,                          # benchmark doc (id%50==0)
+            "x " + bench_text + " y",            # shares 3 distinct 8-grams
+            "clean words only here none shared at all nine ten",
+            bench_text,                          # second benchmark doc
+            "w1 w2 w3 w4 w5 w6 w7 w8 tail",      # shares exactly 1
+        ], pa.string()),
+    }))
+    a = (decontaminate(docs, n=8, bench_mod=50).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a["doc_id"].tolist() == [1, 2, 51]            # bench rows excluded
+    assert a.set_index("doc_id")["contaminated_grams"].tolist() == [3, 0, 1]
+    assert a.set_index("doc_id")["contaminated"].tolist() == [True, False, True]
+    b = (decontaminate(docs, n=8, bench_mod=50, strategy="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns].astype(a.dtypes.to_dict()))
