@@ -162,7 +162,8 @@ def dedup_edges(edges: "ray.data.Dataset",
 
 
 def canonicalize_edges(edges: "ray.data.Dataset",
-                       strategy: str = "broadcast") -> "ray.data.Dataset":
+                       strategy: str = "broadcast",
+                       mention_cap: int = 16_000_000) -> "ray.data.Dataset":
     """Conversation-scoped surname linking, then global surface
     canonicalization.
 
@@ -241,7 +242,6 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     # conversation-bounded state, like the registry, is the documented
     # limit of the broadcast strategy; link_strategy="shuffle" is the
     # 10^12-turn path.
-    mention_cap = 16_000_000
     speculate = 2 * edges.count() <= mention_cap
     if speculate:
         # refs-only flow: the link-state finish and the mention index

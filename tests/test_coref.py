@@ -124,3 +124,31 @@ def test_antecedent_from_relation_less_turn(ray_session, strategy):
         "He visited Paris.",
     ], strategy)
     assert ("Fred Smith", "visited", "Paris") in triples
+
+
+def test_canonicalize_cap_paths_equal(ray_session):
+    """canonicalize_edges takes three broadcast-path routes depending on
+    the mention cap: speculative refs-only (default), non-speculative
+    filtered pull, and the bucketed-exchange fallback (cap 0).  All must
+    produce identical edges — the small caps force the code paths that
+    otherwise only run at 10^7+ edges."""
+    import pandas as pd
+
+    from ice_ray.pipelines.kg import canonicalize_edges, dedup_edges, extract_decode_edges
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tbl, _ = generate_transcripts(4000, seed=11)
+    ds = ray.data.from_arrow(tbl.select(["conv_id", "turn_idx", "text"]))
+    edges = extract_decode_edges(ds).materialize()
+
+    def run(cap):
+        out = dedup_edges(canonicalize_edges(edges, mention_cap=cap)).to_pandas()
+        cols = sorted(out.columns)
+        return out[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+    spec = run(16_000_000)          # speculative refs-only path
+    nonspec = run(2)                # non-speculative: filtered pull
+    fallback = run(0)               # pull cap 0 → bucketed mention exchange
+    assert len(spec) > 0
+    pd.testing.assert_frame_equal(spec, nonspec)
+    pd.testing.assert_frame_equal(spec, fallback)
