@@ -209,7 +209,6 @@ def canonicalize_edges(edges: "ray.data.Dataset",
     from ..stages.linker import (
         FusedLinkRewriter,
         LinkCanonRewriter,
-        build_link_state,
         build_mention_index,
     )
 
@@ -266,10 +265,14 @@ def canonicalize_edges(edges: "ray.data.Dataset",
                                  canon_ref, ment_ref),
             batch_format="pyarrow",
         )
-    registry, canon, pron_convs = build_link_state(edges)
+    # beyond the speculation bound: same refs-only link state (finish
+    # in a Ray task; registry/canon never cross the driver), but the
+    # mention side needs the pron-conv set first for a FILTERED pull
+    reg_ref, canon_ref, pron_ref = build_link_state_refs(edges)
+    pron_convs = ray.get(pron_ref)
     mentions = {}
     if pron_convs:
-        # beyond the speculation bound — filtered pull, still capped
+        # filtered pull, still capped
         mentions = build_mention_index(edges, pron_convs, mention_cap)
         if mentions is None:
             # antecedent index exceeds the broadcast cap — fall back to
@@ -278,15 +281,14 @@ def canonicalize_edges(edges: "ray.data.Dataset",
                                              mention_broadcast_max=0,
                                              conv_set=pron_convs)
             return combined.map_batches(
-                make_cached_rewriter(LinkCanonRewriter, ray.put(registry),
-                                     ray.put(canon)),
+                make_cached_rewriter(LinkCanonRewriter, reg_ref, canon_ref),
                 batch_format="pyarrow",
             )
     # task-based rewrite (cheap init): fuses with the downstream dedup
     # combiner into one pass over the materialized raw edges
     return edges.map_batches(
-        make_cached_rewriter(FusedLinkRewriter, ray.put(registry),
-                             ray.put(canon), ray.put(mentions)),
+        make_cached_rewriter(FusedLinkRewriter, reg_ref, canon_ref,
+                             ray.put(mentions)),
         batch_format="pyarrow",
     )
 
