@@ -459,33 +459,32 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
         return batch.append_column(
             "_bucket", hash_mod(batch.column("conv_id"), num_buckets))
 
-    def resolve_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "conv_id" not in df.columns:
-            return pd.DataFrame({c: [] for c in edge_cols})
-        is_edge = df["_name"].isna() & df["_key"].isna()
-        idx = MentionIndex.from_rows(df[~is_edge])
-        e = df[is_edge].drop(columns=["_key", "_name", "_bucket"]).copy()
-        if not len(e):
-            return e
-        keep = _resolve_pron_df(e, idx)
-        return e[keep]
-
-    resolved = (combined.map_batches(add_bucket, batch_format="pyarrow")
-                .groupby("_bucket")
-                .map_groups(resolve_bucket, batch_format="pandas"))
-
-    def coerce(t: pa.Table) -> pa.Table:
-        # empty buckets (and pandas null-promotion of ints) lose the edge
-        # schema; restore it exactly
-        if t.num_rows == 0 or set(t.column_names) != set(edge_cols):
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-native: the bucket's BULK (mention rows) builds the
+        # index via MentionIndex.from_arrow without a pandas
+        # conversion; only the (edge-fraction-small) pronoun edge rows
+        # round-trip through pandas for the in-place resolve.
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
             return arrow_schema.empty_table()
-        import pyarrow.compute as pc_
-
-        cols = [pc_.cast(t.column(c), arrow_schema.field(c).type)
+        is_edge = pc.and_(pc.is_null(t.column("_name")),
+                          pc.is_null(t.column("_key")))
+        idx = MentionIndex.from_arrow(
+            t.filter(pc.invert(is_edge))
+             .select(["conv_id", "_key", "_name"]))
+        e = t.filter(is_edge).select(edge_cols).to_pandas()
+        if not len(e):
+            return arrow_schema.empty_table()
+        e = e[_resolve_pron_df(e, idx)]
+        out = pa.Table.from_pandas(e, preserve_index=False)
+        cols = [pc.cast(out.column(c), arrow_schema.field(c).type)
                 for c in edge_cols]
         return pa.Table.from_arrays(cols, schema=arrow_schema)
 
-    return non_pron.union(resolved.map_batches(coerce, batch_format="pyarrow"))
+    resolved = (combined.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(resolve_bucket, batch_format="pyarrow"))
+
+    return non_pron.union(resolved)
 
 
 def link_edges_by_conversation(edges: "ray.data.Dataset",
