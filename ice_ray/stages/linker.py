@@ -434,26 +434,25 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
     all_cols = ["conv_id", "_key", "_name"] + \
         [c for c in edge_cols if c != "conv_id"]
 
-    def mention_rows(batch: pa.Table) -> pa.Table:
-        """Slim (conv_id, _key, _name) PERSON mention events for
-        pronoun-bearing conversations (from all edge rows, including the
-        non-pronoun column of pronoun-bearing ones), padded to the union
-        schema (other columns null)."""
-        t = _mention_partial(batch, ray.get(conv_ref))
+    def exchange_rows(batch: pa.Table) -> pa.Table:
+        """ONE scan emits both exchange sides: slim (conv_id, _key,
+        _name) PERSON mention events for pronoun-bearing conversations
+        (from all edge rows, including the non-pronoun column of
+        pronoun-bearing ones) AND the pronoun edge rows themselves —
+        padded to the union schema (missing columns null)."""
+        pron_mask = batch.column("_pron")
+        body = batch.drop_columns(["_pron"])
+        m = _mention_partial(body, ray.get(conv_ref))
         for c in edge_cols:
             if c != "conv_id":
-                typ = batch.schema.field(c).type
-                t = t.append_column(c, pa.nulls(t.num_rows, typ))
-        return t.select(all_cols)
+                typ = body.schema.field(c).type
+                m = m.append_column(c, pa.nulls(m.num_rows, typ))
+        p = body.filter(pron_mask)
+        p = (p.append_column("_key", pa.nulls(p.num_rows, pa.int64()))
+              .append_column("_name", pa.nulls(p.num_rows, pa.string())))
+        return pa.concat_tables([m.select(all_cols), p.select(all_cols)])
 
-    def pron_rows(batch: pa.Table) -> pa.Table:
-        t = (batch.append_column("_key", pa.nulls(batch.num_rows, pa.int64()))
-                  .append_column("_name", pa.nulls(batch.num_rows, pa.string())))
-        return t.select(all_cols)
-
-    combined = (tagged.drop_columns(["_pron"])
-                .map_batches(mention_rows, batch_format="pyarrow")
-                .union(pron.map_batches(pron_rows, batch_format="pyarrow")))
+    combined = tagged.map_batches(exchange_rows, batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

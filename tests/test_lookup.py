@@ -90,3 +90,24 @@ def test_mention_index_from_arrow_matches_from_rows():
         assert (pd.Series(ra).fillna("-") == pd.Series(rb).fillna("-")).all()
         assert np.array_equal(a.gkeys, b.gkeys)
         assert list(a.pool[a.codes]) == list(b.pool[b.codes])
+
+
+def test_lookup_collision_runs_exact(monkeypatch):
+    """Force hash collisions (weak patched hash) to exercise the
+    duplicate-hash run scan — lookups stay exact."""
+    import ice_ray.functions.lookup as lk
+
+    def weak_hash(keys):
+        return np.array([len(k) % 3 for k in keys], dtype=np.uint64)
+
+    monkeypatch.setattr(lk, "_hash", weak_hash)
+    keys = np.array(["a", "bb", "cc", "ddd", "eeee", "x"], dtype=object)
+    vals = np.array(["1", "2", "3", "4", "5", "6"], dtype=object)
+    m = lk.HashedStringMap(keys, vals)
+    d = dict(zip(keys, vals))
+    probe = np.array(["a", "bb", "cc", "zz", "ddd", "eeee", "x", "yy"],
+                     dtype=object)
+    fb = np.array([f"f{i}" for i in range(len(probe))], dtype=object)
+    got = m.lookup(probe, fb)
+    want = np.array([d.get(p, f) for p, f in zip(probe, fb)], dtype=object)
+    assert (got == want).all()
