@@ -63,6 +63,9 @@ def detect_salt(ds, key: str, num_buckets: int,
     import ray.data as rd
 
     if isinstance(ds, rd.dataset.MaterializedDataset):
+        schema = ds.schema()
+        if schema is not None and key not in schema.names:
+            raise KeyError(f"detect_salt: no column {key!r} in dataset")
         refs = ds.to_arrow_refs()
         if not refs:
             return 1

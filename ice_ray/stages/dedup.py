@@ -528,6 +528,9 @@ def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
 
 # --- benchmark decontamination ---------------------------------------------
 
+_GRAM_CACHE: dict = {}
+
+
 def _doc_gram_set(text: str, n: int) -> set:
     w = (text or "").split(" ")
     return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
@@ -575,16 +578,24 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
         out: set = set()
         for text in batch.column(text_col).to_pylist():
             out |= _doc_gram_set(text, n)
-        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+        return pa.table({"gram": pa.array(list(out), pa.string())})
 
     if strategy == "broadcast":
         gset = frozenset(
             bench.map_batches(bench_grams, batch_format="pyarrow")
                  .to_pandas()["gram"])
         ref = ray.put(gset)
+        key = ref.hex()
 
         def score(batch: pa.Table) -> pa.Table:
-            bs = ray.get(ref)
+            # per-worker cache: ray.get re-deserializes the (potentially
+            # 10^7-gram) frozenset on EVERY call otherwise
+            bs = _GRAM_CACHE.get(key)
+            if bs is None:
+                if len(_GRAM_CACHE) > 4:
+                    _GRAM_CACHE.clear()
+                bs = ray.get(ref)
+                _GRAM_CACHE[key] = bs
             counts = [len(_doc_gram_set(t, n) & bs)
                       for t in batch.column(text_col).to_pylist()]
             arr = pa.array(counts, pa.int64())

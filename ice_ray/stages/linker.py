@@ -778,9 +778,9 @@ class LinkCanonRewriter:
     def _canon_col(self, col: pa.Array) -> pa.Array:
         import pyarrow.compute as pc
 
+        if len(self._canon) == 0:   # common case after the ambiguous-
+            return col              # norm shrink — skip the encode
         enc = pc.dictionary_encode(col)
-        if len(self._canon) == 0:
-            return col
         uniq = pd.Series(enc.dictionary.to_pandas())
         mapped = _norm_surface_vec(uniq).map(self._canon).fillna(uniq)
         return pc.take(pa.array(mapped.to_numpy(), pa.string()), enc.indices)

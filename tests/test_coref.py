@@ -146,8 +146,18 @@ def test_canonicalize_cap_paths_equal(ray_session):
         cols = sorted(out.columns)
         return out[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
 
+    # a cap below 2×edges forces the non-speculative route; prove the
+    # FILTERED pull actually succeeds at mid_cap (≠ the fallback route)
+    from ice_ray.stages.linker import build_link_state, build_mention_index
+
+    n_edges = edges.count()
+    mid_cap = 2 * n_edges - 1
+    _, _, pron_convs = build_link_state(edges)
+    assert pron_convs
+    assert build_mention_index(edges, pron_convs, mid_cap) is not None
+
     spec = run(16_000_000)          # speculative refs-only path
-    nonspec = run(2)                # non-speculative: filtered pull
+    nonspec = run(mid_cap)          # non-speculative: filtered pull succeeds
     fallback = run(0)               # pull cap 0 → bucketed mention exchange
     assert len(spec) > 0
     pd.testing.assert_frame_equal(spec, nonspec)
