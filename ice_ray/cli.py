@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"corpus_dir": out}))
         return 0
 
+    if getattr(args, "input", None) is not None and not os.path.exists(args.input):
+        print(json.dumps({"error": f"input not found: {args.input}"}),
+              file=sys.stderr)
+        return 2
+
     _ray_session(args.num_cpus)
     import ray
     import ray.data
