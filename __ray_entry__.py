@@ -670,6 +670,31 @@ def _q_doc_repetition(sf_dir: str):
     return _round_col(ds, "dup_2gram_frac")
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction over documents deterministically augmented with
+    synthetic contact strings (the base corpus is PII-free, so the
+    augmentation — reproduced verbatim in the SQL oracle — gives the
+    scrub real matches to count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ice_ray.stages.textstats import pii_scrub
+
+    def augment(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch.column("doc_id"), pa.string())
+        oct_ = pc.cast(pc.bit_wise_and(batch.column("doc_id"), 255),
+                       pa.string())
+        aug = pc.binary_join_element_wise(
+            batch.column("text"), pa.scalar(" contact user"), did,
+            pa.scalar("@mail.example.com from 10.0.0."), oct_, "")
+        i = batch.schema.get_field_index("text")
+        return batch.set_column(i, "text", aug)
+
+    return _docs(sf_dir).map_batches(augment,
+                                     batch_format="pyarrow").map_batches(
+        pii_scrub, batch_format="pyarrow")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing any word
     8-gram with the benchmark subset (doc_id % 50 == 0)."""
@@ -737,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_topk": _q_quality_topk,
         "doc_repetition": _q_doc_repetition,
         "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
     }
 
 
@@ -1015,5 +1041,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.contaminated_grams, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 50 <> 0
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@mail.example.com from 10.0.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                     len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS t
+                   FROM aug),
+            s2 AS (SELECT doc_id, c1,
+                     len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS c2,
+                     regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                    '[IP]', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT doc_id, c1, c2,
+                     len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS c3,
+                     regexp_replace(t, '\b\d{3}-\d{4}\b',
+                                    '[PHONE]', 'g') AS t
+                   FROM s2)
+            SELECT doc_id, t AS scrubbed,
+                   (c1 + c2 + c3)::BIGINT AS n_redactions
+            FROM s3
         """,
     }

@@ -258,3 +258,35 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "dup_word_frac": pa.array(dupw, pa.float64()),
         "dup_2gram_frac": pa.array(dup2, pa.float64()),
     })
+
+
+# PII patterns share the RE2 engine between pyarrow and DuckDB, so the
+# scrub is ANSI-SQL-oracle-reproducible byte for byte.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\b\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing (email / IPv4 / phone → typed placeholders) — the
+    redaction pass of a training-data pipeline.  Fully vectorized RE2
+    kernels (`count_substring_regex` + `replace_substring_regex`);
+    patterns apply sequentially, counts are per-pattern-on-current-text
+    (mirrored exactly by the SQL oracle's CTE chain)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    total = np.zeros(batch.num_rows, np.int64)
+    for pat, repl in PII_PATTERNS:
+        total += pc.count_substring_regex(col, pat).to_numpy()
+        col = pc.replace_substring_regex(col, pat, repl)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "scrubbed": col,
+        "n_redactions": pa.array(total, pa.int64()),
+    })
