@@ -670,6 +670,14 @@ def _q_doc_repetition(sf_dir: str):
     return _round_col(ds, "dup_2gram_frac")
 
 
+def _q_cross_doc_ngrams(sf_dir: str):
+    """Cross-document 8-gram duplication metrics (exact-substring dedup
+    family, join-shaped — no broadcast)."""
+    from ice_ray.stages.dedup import cross_doc_ngram_stats
+    return _round_col(cross_doc_ngram_stats(_docs(sf_dir), n=8),
+                      "shared_frac")
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction over documents deterministically augmented with
     synthetic contact strings (the base corpus is PII-free, so the
@@ -763,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "cross_doc_ngrams": _q_cross_doc_ngrams,
     }
 
 
@@ -1070,5 +1079,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS scrubbed,
                    (c1 + c2 + c3)::BIGINT AS n_redactions
             FROM s3
+        """,
+        "cross_doc_ngrams": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS g
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(w) - 7, 0))) AS i) t),
+            gc AS (SELECT g, count(DISTINCT doc_id) AS dc
+                   FROM grams GROUP BY g),
+            per AS (SELECT grams.doc_id,
+                           count(*) AS n_grams,
+                           count(*) FILTER (WHERE gc.dc >= 2)
+                               AS shared_grams
+                    FROM grams JOIN gc USING (g)
+                    GROUP BY grams.doc_id)
+            SELECT doc_id, n_grams::BIGINT AS n_grams,
+                   shared_grams::BIGINT AS shared_grams,
+                   round(shared_grams::DOUBLE / n_grams, 6) AS shared_frac
+            FROM per
         """,
     }

@@ -654,3 +654,70 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
             pc.greater(batch.column("contaminated_grams"), 0))
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
+                          num_buckets: int = 32):
+    """Cross-document n-gram duplication metrics — the shuffle-shaped
+    cousin of exact-substring training-data dedup: for each document,
+    how many of its DISTINCT word n-grams also appear in at least one
+    OTHER document, and the fraction.
+
+    Fully distributed (no broadcast): distinct (gram, doc_id) rows
+    explode map-side; a bucketed gram aggregate counts documents per
+    gram (rows are distinct per doc, so count == distinct-doc count);
+    grams with count ≥ 2 semi-join back; a per-doc sum over the union
+    of hit markers and total markers yields (n_grams, shared_grams).
+    Documents with fewer than ``n`` words emit no grams and are absent
+    from the output (mirrored by the SQL oracle)."""
+    import pyarrow.compute as pc
+
+    from ..functions.join import bucketed_hash_join
+    from ..functions.shuffle import grouped_aggregate
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for did, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            for g in _doc_gram_set(text, n):   # distinct per doc
+                ids.append(did)
+                grams.append(g)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    doc_grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+    gram_counts = grouped_aggregate(
+        doc_grams, keys=["gram"], specs=[("doc_id", "count")],
+        num_buckets=num_buckets, rename={"doc_id_count": "dc"})
+    dup = (gram_counts.filter(expr="dc >= 2")
+           .drop_columns(["dc"]))
+    hits = bucketed_hash_join(doc_grams, dup, "gram", "gram",
+                              num_buckets=num_buckets)
+
+    def mark(batch: pa.Table, shared: int) -> pa.Table:
+        one = pa.array([shared] * batch.num_rows, pa.int64())
+        tot = pa.array([1 - shared] * batch.num_rows, pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "s": one, "t": tot})
+
+    counted = grouped_aggregate(
+        hits.map_batches(mark, batch_format="pyarrow",
+                         fn_kwargs={"shared": 1}).union(
+            doc_grams.map_batches(mark, batch_format="pyarrow",
+                                  fn_kwargs={"shared": 0})),
+        keys=["doc_id"], specs=[("s", "sum"), ("t", "sum")],
+        num_buckets=num_buckets,
+        rename={"s_sum": "shared_grams", "t_sum": "n_grams"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frac = pc.divide(
+            pc.cast(batch.column("shared_grams"), pa.float64()),
+            pc.cast(batch.column("n_grams"), pa.float64()))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": batch.column("n_grams"),
+            "shared_grams": batch.column("shared_grams"),
+            "shared_frac": frac,
+        })
+
+    return counted.map_batches(finish, batch_format="pyarrow")
