@@ -67,7 +67,8 @@ def _query_timings() -> dict[str, float]:
     timings: dict[str, float] = {}
     picks = ["term_counts", "doc_dedup_exact", "minhash_neardup",
              "knn_cosine", "events_hourly", "sessions", "term_pmi",
-             "events_last_order", "doc_repetition", "decontaminate"]
+             "events_last_order", "doc_repetition", "decontaminate",
+             "pii_scrub", "cross_doc_ngrams"]
     qs = em.queries()
     for name in picks:
         t0 = time.time()

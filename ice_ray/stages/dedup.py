@@ -657,7 +657,8 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
 
 
 def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
-                          num_buckets: int = 32):
+                          num_buckets: int = 32,
+                          dup_broadcast_max: int = 2_000_000):
     """Cross-document n-gram duplication metrics — the shuffle-shaped
     cousin of exact-substring training-data dedup: for each document,
     how many of its DISTINCT word n-grams also appear in at least one
@@ -672,6 +673,8 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
     from the output (mirrored by the SQL oracle)."""
     import pyarrow.compute as pc
 
+    import ray
+
     from ..functions.join import bucketed_hash_join
     from ..functions.shuffle import grouped_aggregate
 
@@ -685,12 +688,55 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "gram": pa.array(grams, pa.string())})
 
-    doc_grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+    # three consumers (gram aggregate, join left side, total markers) —
+    # materialize the explode once or it re-executes per consumer
+    doc_grams = docs.map_batches(gram_rows,
+                                 batch_format="pyarrow").materialize()
     gram_counts = grouped_aggregate(
         doc_grams, keys=["gram"], specs=[("doc_id", "count")],
         num_buckets=num_buckets, rename={"doc_id_count": "dc"})
     dup = (gram_counts.filter(expr="dc >= 2")
-           .drop_columns(["dc"]))
+           .drop_columns(["dc"]).materialize())
+
+    if dup.count() <= dup_broadcast_max:
+        # duplicated grams are usually a small fraction of the gram
+        # space — broadcast them as a set and finish in ONE map over
+        # the docs (skips the semi-join and the marker aggregate, each
+        # a full shuffle stage); the join path below is the fallback
+        # when the dup set itself is object-store-sized
+        dset = frozenset(dup.to_pandas()["gram"])
+        ref = ray.put(dset)
+        key = ref.hex()
+
+        def score(batch: pa.Table) -> pa.Table:
+            ds_ = _GRAM_CACHE.get(key)
+            if ds_ is None:
+                if len(_GRAM_CACHE) > 4:
+                    _GRAM_CACHE.clear()
+                ds_ = ray.get(ref)
+                _GRAM_CACHE[key] = ds_
+            ids, tot, sh = [], [], []
+            for did, text in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column(text_col).to_pylist()):
+                gs = _doc_gram_set(text, n)
+                if not gs:
+                    continue
+                ids.append(did)
+                tot.append(len(gs))
+                sh.append(len(gs & ds_))
+            tot_a = pa.array(tot, pa.int64())
+            sh_a = pa.array(sh, pa.int64())
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": tot_a,
+                "shared_grams": sh_a,
+                "shared_frac": pc.divide(
+                    pc.cast(sh_a, pa.float64()),
+                    pc.cast(tot_a, pa.float64())),
+            })
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
     hits = bucketed_hash_join(doc_grams, dup, "gram", "gram",
                               num_buckets=num_buckets)
 

@@ -280,3 +280,32 @@ def test_decontaminate_strategies_and_semantics(ray_session):
     b = (decontaminate(docs, n=8, bench_mod=50, strategy="join").to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns].astype(a.dtypes.to_dict()))
+
+
+def test_cross_doc_ngrams_strategies_equal(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.dedup import cross_doc_ngram_stats
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            shared + " tail one two",
+            "head " + shared,
+            "all unique words here nine ten eleven twelve",
+            "tiny",                      # < 8 words → no grams, absent
+        ], pa.string()),
+    }))
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    a = canon(cross_doc_ngram_stats(docs, n=8))
+    b = canon(cross_doc_ngram_stats(docs, n=8, dup_broadcast_max=0))
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert a["doc_id"].tolist() == [1, 2, 3]
+    assert a.set_index("doc_id").loc[1, "shared_grams"] == 1  # the s1..s8 gram
+    assert a.set_index("doc_id").loc[3, "shared_grams"] == 0
