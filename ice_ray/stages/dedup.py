@@ -539,7 +539,8 @@ def _doc_gram_set(text: str, n: int) -> set:
 def decontaminate(docs, n: int = 8, bench_mod: int = 50,
                   text_col: str = "text",
                   strategy: str = "broadcast",
-                  num_buckets: int = 32):
+                  num_buckets: int = 32,
+                  broadcast_max_grams: int = 10_000_000):
     """Benchmark decontamination — the training-set hygiene op of every
     large-scale LLM pipeline: flag training documents that share any
     word ``n``-gram with a benchmark/eval subset (here the deterministic
@@ -581,31 +582,37 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
         return pa.table({"gram": pa.array(list(out), pa.string())})
 
     if strategy == "broadcast":
-        gset = frozenset(
-            bench.map_batches(bench_grams, batch_format="pyarrow")
-                 .to_pandas()["gram"])
-        ref = ray.put(gset)
-        key = ref.hex()
+        # capped pull: a benchmark bigger than the broadcast bound
+        # falls through to the bucketed join path instead of landing an
+        # unbounded gram frame on the driver
+        pulled = (bench.map_batches(bench_grams, batch_format="pyarrow")
+                  .limit(broadcast_max_grams + 1).to_pandas()["gram"])
+        if len(pulled) > broadcast_max_grams:
+            strategy = "join"
+        else:
+            ref = ray.put(frozenset(pulled))
+            key = ref.hex()
 
-        def score(batch: pa.Table) -> pa.Table:
-            # per-worker cache: ray.get re-deserializes the (potentially
-            # 10^7-gram) frozenset on EVERY call otherwise
-            bs = _GRAM_CACHE.get(key)
-            if bs is None:
-                if len(_GRAM_CACHE) > 4:
-                    _GRAM_CACHE.clear()
-                bs = ray.get(ref)
-                _GRAM_CACHE[key] = bs
-            counts = [len(_doc_gram_set(t, n) & bs)
-                      for t in batch.column(text_col).to_pylist()]
-            arr = pa.array(counts, pa.int64())
-            return pa.table({
-                "doc_id": batch.column("doc_id"),
-                "contaminated_grams": arr,
-                "contaminated": pc.greater(arr, 0),
-            })
+            def score(batch: pa.Table) -> pa.Table:
+                # per-worker cache: ray.get re-deserializes the
+                # (potentially 10^7-gram) frozenset on EVERY call
+                # otherwise
+                bs = _GRAM_CACHE.get(key)
+                if bs is None:
+                    if len(_GRAM_CACHE) > 4:
+                        _GRAM_CACHE.clear()
+                    bs = ray.get(ref)
+                    _GRAM_CACHE[key] = bs
+                counts = [len(_doc_gram_set(t, n) & bs)
+                          for t in batch.column(text_col).to_pylist()]
+                arr = pa.array(counts, pa.int64())
+                return pa.table({
+                    "doc_id": batch.column("doc_id"),
+                    "contaminated_grams": arr,
+                    "contaminated": pc.greater(arr, 0),
+                })
 
-        return train.map_batches(score, batch_format="pyarrow")
+            return train.map_batches(score, batch_format="pyarrow")
 
     if strategy != "join":
         raise ValueError(f"unknown strategy {strategy!r}")
