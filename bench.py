@@ -79,6 +79,34 @@ def _query_timings() -> dict[str, float]:
     return timings
 
 
+def _calibration_probe(units: int | None = None) -> float:
+    """Same-process raw-task probe: seconds to run `units` fixed CPU-bound
+    Ray tasks with no data movement.  Emitted as `calibration_sec` so any
+    bench window's numbers can be normalized against VM noise — a window
+    where calibration_sec is 3x another window's explains 3x-slower
+    unchanged queries without any code regression (VERDICT r3 item #1).
+    Assumes ray is already initialized."""
+    import ray
+
+    units = units or int(os.environ.get("GRAFT_CALIBRATION_UNITS",
+                                        str(NUM_CPUS * 3)))
+
+    @ray.remote
+    def busy(seed: int) -> int:
+        import numpy as np
+        acc = 0
+        a = np.random.default_rng(seed).integers(0, 1 << 30, 200_000)
+        for _ in range(60):
+            acc ^= int((a * 2654435761 % 1000003).sum())
+            a = (a * 48271) % (1 << 31)
+        return acc
+
+    ray.get([busy.remote(i) for i in range(NUM_CPUS)])  # warm workers
+    t0 = time.time()
+    ray.get([busy.remote(i) for i in range(units)])
+    return round(time.time() - t0, 3)
+
+
 def run_once() -> dict:
     import ray
     from ray.data import DataContext
@@ -91,17 +119,25 @@ def run_once() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     try:
+        # window calibration BEFORE any pipeline work: raw-task seconds in
+        # this exact process/VM window (see _calibration_probe docstring)
+        calibration = _calibration_probe()
         # warm the page cache so we measure compute + shuffle, not first I/O
         import ray.data
         ray.data.read_parquet(os.path.join(corpus_dir, "transcripts")).count()
         sec, n_edges = _headline(corpus_dir)
         queries = _query_timings() if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1" else {}
+        # a second probe after the work brackets the window: if post >>
+        # pre, the window degraded mid-run and per-query numbers are noisy
+        calibration_post = _calibration_probe()
     finally:
         ray.shutdown()
     return {
         "metric": "kg_pipeline_sec",
         "value": round(sec, 3),
         "unit": "sec",
+        "calibration_sec": calibration,
+        "calibration_post_sec": calibration_post,
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,

@@ -16,12 +16,14 @@ Salt hot keys into sub-buckets if one key dominates.
 
 from __future__ import annotations
 
+import math
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
 
-from .shuffle import hash_mod
+from .shuffle import default_num_buckets, hash_mod
 
 _JOIN_TYPE = {"inner": "inner", "left": "left outer",
               "right": "right outer", "outer": "full outer"}
@@ -96,7 +98,7 @@ def detect_salt(ds, key: str, num_buckets: int,
     frac = top / n
     if frac <= threshold:
         return 1
-    return max(1, min(max_salt, -(-int(frac * num_buckets + 0.999))))
+    return max(1, min(max_salt, math.ceil(frac * num_buckets)))
 
 
 def _resolve_salt(salt, ds, key, num_buckets):
@@ -106,7 +108,7 @@ def _resolve_salt(salt, ds, key, num_buckets):
 
 
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
-                       how: str = "inner", num_buckets: int = 32,
+                       how: str = "inner", num_buckets: int | None = None,
                        salt: int | str = 1):
     """→ joined dataset (Acero hash-join semantics per bucket).  Column
     names must be disjoint apart from the keys; both key columns are kept
@@ -122,6 +124,8 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
     only when one key dominates (resolves to 1 for non-inner joins —
     salting is inner-only)."""
     join_type = _JOIN_TYPE[how]
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     if salt == "auto" and how != "inner":
         salt = 1
     salt = _resolve_salt(salt, left, left_on, num_buckets)
@@ -195,7 +199,7 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 
 
 def asof_join(left, right, on: str, left_ts: str, right_ts: str,
-              num_buckets: int = 32, suffix: str = "_r",
+              num_buckets: int | None = None, suffix: str = "_r",
               strategy: str = "auto",
               broadcast_max_rows: int = 5_000_000,
               broadcast_max_bytes: int = 512 << 20,
@@ -223,8 +227,8 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
     non-key columns colliding with left names get ``suffix``."""
     import pandas as pd
 
-    from .shuffle import hash_mod
-
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     if strategy in ("auto", "broadcast"):
         bcast = _asof_broadcast(left, right, on, left_ts, right_ts,
                                 suffix, broadcast_max_rows,

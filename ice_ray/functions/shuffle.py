@@ -24,6 +24,21 @@ import pyarrow.compute as pc
 _MERGE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def default_num_buckets() -> int:
+    """Shuffle width resolved at call time: ``max(64, 2 × cluster CPUs)``
+    — a static 32/64 under-parallelizes the reduce stage on a 4N-CPU
+    cluster, while 2× CPUs keeps every core busy through stragglers and
+    stays far from tiny-block overhead.  Falls back to 64 when Ray isn't
+    initialized yet (the dataset will auto-init on execution anyway)."""
+    try:
+        import ray
+        if ray.is_initialized():
+            return max(64, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return 64
+
+
 def hash_mod(col, num_buckets: int) -> pa.Array:
     """Vectorized deterministic bucket ids for any column type: cast to
     string once in Arrow, hash with pandas' cython siphash (fixed default
@@ -44,12 +59,15 @@ def _bucket_of(g: pa.Table, keys: list[str], num_buckets: int) -> pa.Array:
 
 
 def grouped_aggregate(ds, keys: list[str], specs: list[tuple[str, str]],
-                      num_buckets: int = 64,
+                      num_buckets: int | None = None,
                       rename: dict[str, str] | None = None):
     """``specs``: [(column, fn)] with fn ∈ {sum, min, max, count}.
     Output columns: keys + ``{col}_{fn}`` (optionally renamed via
     ``rename``).  All heavy work is pyarrow kernels; the shuffle moves
-    only per-batch partials keyed by a small int bucket."""
+    only per-batch partials keyed by a small int bucket.  ``num_buckets``
+    defaults to :func:`default_num_buckets` (scales with cluster CPUs)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
     agg_names = [f"{c}_{f}" for c, f in specs]
 
     def partial(b: pa.Table) -> pa.Table:

@@ -30,6 +30,50 @@ _WORD_RE = re.compile(r"[a-z0-9]+")
 MAX_BUCKET = 64  # cap on pairs per LSH bucket; beyond this the bucket is
                  # a near-clone cluster and pairing its head is enough
 
+# per-worker deserialization cache for broadcast structures: ray.get
+# re-deserializes a non-zero-copy object (set/dict) on EVERY call
+_GRAM_CACHE: dict = {}
+
+
+def _build_dict(key_col: str, val_col: str, *tables) -> dict:
+    out: dict = {}
+    for t in tables:
+        if key_col not in t.column_names:   # empty shuffle parts
+            continue
+        out.update(zip(t.column(key_col).to_pylist(),
+                       t.column(val_col).to_pylist()))
+    return out
+
+
+def _build_frozenset(col: str, *tables) -> frozenset:
+    out: set = set()
+    for t in tables:
+        if col not in t.column_names:       # empty shuffle parts
+            continue
+        out.update(t.column(col).to_pylist())
+    return frozenset(out)
+
+
+def _worker_side(fn, ds, *args):
+    """Build a broadcast structure with ``fn`` in a Ray task fed the
+    dataset's block refs, returning the result REF — neither the blocks
+    nor the built structure ever land on the driver (the
+    ``_mention_index_task`` pattern, stages/linker.py:320)."""
+    import ray
+    return ray.remote(fn).remote(*args, *ds.to_arrow_refs())
+
+
+def _cached_get(ref):
+    import ray
+    key = ref.hex()
+    v = _GRAM_CACHE.get(key)
+    if v is None:
+        if len(_GRAM_CACHE) > 4:
+            _GRAM_CACHE.clear()
+        v = ray.get(ref)
+        _GRAM_CACHE[key] = v
+    return v
+
 
 def _norm(text: str) -> str:
     return " ".join(_WORD_RE.findall((text or "").lower()))
@@ -103,22 +147,66 @@ class MinHasher:
                          "sig": pa.array(sigs, pa.binary())})
 
 
+def _make_crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, (t >> np.uint32(1)) ^ np.uint32(0xEDB88320),
+                     t >> np.uint32(1))
+    return t
+
+
+_CRC32_TABLE = _make_crc32_table()
+
+
+def _crc32_rows(data: np.ndarray) -> np.ndarray:
+    """``zlib.crc32`` of each row of an (m, nbytes) uint8 matrix,
+    vectorized over rows: nbytes table-lookup passes instead of m Python
+    calls.  Bit-identical to zlib (CRC-32/IEEE, reflected)."""
+    crc = np.full(data.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(data.shape[1]):
+        crc = _CRC32_TABLE[(crc ^ data[:, j]) & np.uint32(0xFF)] \
+            ^ (crc >> np.uint32(8))
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 def _explode_bands(batch: pa.Table, bands: int, rows: int) -> pa.Table:
     """(doc_id, sig) → slim (band_id, band_hash, doc_id) rows: the LSH
     shuffle moves 20 bytes per band row, NOT the full signature (which
-    would be ≈16× duplicated at bands=16 — the round-1 bottleneck)."""
-    ids = batch.column("doc_id").to_pylist()
-    out_band, out_hash, out_id = [], [], []
-    for i, s in zip(ids, batch.column("sig").to_pylist()):
-        sig = np.frombuffer(s, dtype=np.int64)
-        for b in range(bands):
-            out_band.append(b)
-            out_hash.append(int(zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes())))
-            out_id.append(i)
+    would be ≈16× duplicated at bands=16 — the round-1 bottleneck).
+    Band hashing is the vectorized `_crc32_rows` kernel — bit-identical
+    to the per-band ``zlib.crc32`` it replaces, but 32 numpy passes over
+    the whole batch instead of n_docs × bands Python calls (the round-3
+    per-row hot spot)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"band_id": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    # signatures are fixed-width (bands × rows × 8 bytes): when the Arrow
+    # binary column is dense (no nulls, contiguous offsets — always true
+    # for MinHasher output), read its data buffer zero-copy instead of
+    # joining n Python bytes objects
+    sig_col = batch.column("sig").combine_chunks()
+    chunk = sig_col.chunk(0) if isinstance(sig_col, pa.ChunkedArray) else sig_col
+    width = bands * rows * 8
+    if chunk.null_count == 0 and len(chunk.buffers()) >= 3:
+        off = np.frombuffer(chunk.buffers()[1], dtype=np.int32,
+                            count=len(chunk) + 1,
+                            offset=chunk.offset * 4)
+        if off[-1] - off[0] == n * width:
+            raw = np.frombuffer(chunk.buffers()[2], dtype=np.uint8,
+                                count=n * width, offset=int(off[0]))
+        else:   # ragged (shouldn't happen) → slow path
+            raw = np.frombuffer(b"".join(chunk.to_pylist()), dtype=np.uint8)
+    else:
+        raw = np.frombuffer(b"".join(chunk.to_pylist()), dtype=np.uint8)
+    hashes = _crc32_rows(raw.reshape(n * bands, rows * 8)).astype(np.int64)
     return pa.table({
-        "band_id": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(out_hash, pa.int64()),
-        "doc_id": pa.array(out_id, pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(hashes, pa.int64()),
+        "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
     })
 
 
@@ -228,10 +316,11 @@ def minhash_neardup_pairs(ds, threshold: float = 0.5, num_perm: int = 64,
     ).drop_columns(["_one_min"])
 
     if sigs.count() <= broadcast_max_docs:
-        sig_ref = ray.put({r["doc_id"]: r["sig"] for r in sigs.iter_rows()})
+        # sig map built WORKER-side from block refs (never on the driver)
+        sig_ref = _worker_side(_build_dict, sigs, "doc_id", "sig")
 
         def verify_broadcast(batch: pa.Table) -> pa.Table:
-            sig_map = ray.get(sig_ref)  # plasma-local after first fetch
+            sig_map = _cached_get(sig_ref)
             t = pa.table({
                 "id1": batch.column("id1"),
                 "id2": batch.column("id2"),
@@ -293,12 +382,11 @@ def minhash_neardup_pairs_exact(ds, threshold: float = 0.5,
     n_docs = slim.count()
     est_bytes = slim.size_bytes() or 0
     if n_docs <= broadcast_max_docs and est_bytes <= broadcast_max_bytes:
-        texts = {r["doc_id"]: r["text"]
-                 for r in slim.iter_rows()}
-        tref = ray.put(texts)
+        # text map built worker-side from block refs — no driver pull
+        tref = _worker_side(_build_dict, slim, "doc_id", "text")
 
         def verify(batch: pa.Table) -> pa.Table:
-            return exact(batch, ray.get(tref))
+            return exact(batch, _cached_get(tref))
 
         return cand.map_batches(verify, batch_format="pyarrow")
 
@@ -426,8 +514,9 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
     converged = False
     for _ in range(max_rounds):
         if strategy == "broadcast":
-            lab_ref = ray.put({r["node"]: r["label"]
-                               for r in labels.iter_rows()})
+            # label map rebuilt worker-side each round from the
+            # materialized labels' block refs — no per-round driver pull
+            lab_ref = _worker_side(_build_dict, labels, "node", "label")
 
             class Propagate:
                 def __init__(self):
@@ -528,9 +617,6 @@ def ngram_jaccard(text1: str, text2: str, k: int = 3) -> float:
 
 # --- benchmark decontamination ---------------------------------------------
 
-_GRAM_CACHE: dict = {}
-
-
 def _doc_gram_set(text: str, n: int) -> set:
     w = (text or "").split(" ")
     return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
@@ -539,8 +625,9 @@ def _doc_gram_set(text: str, n: int) -> set:
 def decontaminate(docs, n: int = 8, bench_mod: int = 50,
                   text_col: str = "text",
                   strategy: str = "broadcast",
-                  num_buckets: int = 32,
-                  broadcast_max_grams: int = 10_000_000):
+                  num_buckets: int | None = None,
+                  broadcast_max_grams: int = 10_000_000,
+                  broadcast_max_bytes: int = 512 << 20):
     """Benchmark decontamination — the training-set hygiene op of every
     large-scale LLM pipeline: flag training documents that share any
     word ``n``-gram with a benchmark/eval subset (here the deterministic
@@ -562,9 +649,10 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
     grams (SQL-oracle-reproducible)."""
     import pyarrow.compute as pc
 
-    import ray
+    from ..functions.shuffle import default_num_buckets, grouped_aggregate
 
-    from ..functions.shuffle import grouped_aggregate
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def _mod_filter(batch: pa.Table, want_bench: bool) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -581,28 +669,24 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
             out |= _doc_gram_set(text, n)
         return pa.table({"gram": pa.array(list(out), pa.string())})
 
+    bgrams_raw = None
     if strategy == "broadcast":
-        # capped pull: a benchmark bigger than the broadcast bound
-        # falls through to the bucketed join path instead of landing an
-        # unbounded gram frame on the driver
-        pulled = (bench.map_batches(bench_grams, batch_format="pyarrow")
-                  .limit(broadcast_max_grams + 1).to_pandas()["gram"])
-        if len(pulled) > broadcast_max_grams:
+        # count- AND byte-gated (per-batch-distinct gram rows upper-bound
+        # the distinct count and bytes): an oversized benchmark falls
+        # through to the bucketed join path instead of an object-store /
+        # worker-heap blowup — and the frozenset itself is built in a
+        # Ray TASK from block refs, so nothing gram-sized ever lands on
+        # the driver (round-3 fix: replaces a limit().to_pandas() pull)
+        bgrams_raw = (bench.map_batches(bench_grams, batch_format="pyarrow")
+                      .materialize())
+        if (bgrams_raw.count() > broadcast_max_grams
+                or (bgrams_raw.size_bytes() or 0) > broadcast_max_bytes):
             strategy = "join"
         else:
-            ref = ray.put(frozenset(pulled))
-            key = ref.hex()
+            ref = _worker_side(_build_frozenset, bgrams_raw, "gram")
 
             def score(batch: pa.Table) -> pa.Table:
-                # per-worker cache: ray.get re-deserializes the
-                # (potentially 10^7-gram) frozenset on EVERY call
-                # otherwise
-                bs = _GRAM_CACHE.get(key)
-                if bs is None:
-                    if len(_GRAM_CACHE) > 4:
-                        _GRAM_CACHE.clear()
-                    bs = ray.get(ref)
-                    _GRAM_CACHE[key] = bs
+                bs = _cached_get(ref)
                 counts = [len(_doc_gram_set(t, n) & bs)
                           for t in batch.column(text_col).to_pylist()]
                 arr = pa.array(counts, pa.int64())
@@ -619,9 +703,11 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
 
     from ..functions.join import bucketed_hash_join
 
-    # distinct bench grams (bench_grams dedupes per batch only)
+    # distinct bench grams (bench_grams dedupes per batch only); reuse
+    # the materialized gram rows when the broadcast gate already built them
     bgrams = grouped_aggregate(
-        bench.map_batches(bench_grams, batch_format="pyarrow"),
+        bgrams_raw if bgrams_raw is not None
+        else bench.map_batches(bench_grams, batch_format="pyarrow"),
         keys=["gram"], specs=[("gram", "count")],
         num_buckets=num_buckets).drop_columns(["gram_count"])
 
@@ -664,8 +750,9 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
 
 
 def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
-                          num_buckets: int = 32,
-                          dup_broadcast_max: int = 2_000_000):
+                          num_buckets: int | None = None,
+                          dup_broadcast_max: int = 2_000_000,
+                          dup_broadcast_max_bytes: int = 512 << 20):
     """Cross-document n-gram duplication metrics — the shuffle-shaped
     cousin of exact-substring training-data dedup: for each document,
     how many of its DISTINCT word n-grams also appear in at least one
@@ -680,10 +767,11 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
     from the output (mirrored by the SQL oracle)."""
     import pyarrow.compute as pc
 
-    import ray
-
     from ..functions.join import bucketed_hash_join
-    from ..functions.shuffle import grouped_aggregate
+    from ..functions.shuffle import default_num_buckets, grouped_aggregate
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids, grams = [], []
@@ -705,23 +793,19 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
     dup = (gram_counts.filter(expr="dc >= 2")
            .drop_columns(["dc"]).materialize())
 
-    if dup.count() <= dup_broadcast_max:
+    if (dup.count() <= dup_broadcast_max
+            and (dup.size_bytes() or 0) <= dup_broadcast_max_bytes):
         # duplicated grams are usually a small fraction of the gram
         # space — broadcast them as a set and finish in ONE map over
         # the docs (skips the semi-join and the marker aggregate, each
         # a full shuffle stage); the join path below is the fallback
-        # when the dup set itself is object-store-sized
-        dset = frozenset(dup.to_pandas()["gram"])
-        ref = ray.put(dset)
-        key = ref.hex()
+        # when the dup set itself is object-store-sized.  Count- AND
+        # byte-gated; the frozenset is built in a Ray task from block
+        # refs (no driver to_pandas pull)
+        ref = _worker_side(_build_frozenset, dup, "gram")
 
         def score(batch: pa.Table) -> pa.Table:
-            ds_ = _GRAM_CACHE.get(key)
-            if ds_ is None:
-                if len(_GRAM_CACHE) > 4:
-                    _GRAM_CACHE.clear()
-                ds_ = ray.get(ref)
-                _GRAM_CACHE[key] = ds_
+            ds_ = _cached_get(ref)
             ids, tot, sh = [], [], []
             for did, text in zip(batch.column("doc_id").to_pylist(),
                                  batch.column(text_col).to_pylist()):

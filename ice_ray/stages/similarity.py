@@ -311,18 +311,8 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
             .map_batches(coerce, batch_format="pyarrow"))
 
 
-def lsh_search(bucketed, query: np.ndarray, k: int = 10,
-               n_planes: int = 12, seed: int = 42,
-               probe_hamming: int = 1, col: str = "embedding"):
-    """ANN over a HyperplaneBucketer-bucketed dataset: probe the query's
-    bucket plus all buckets within ``probe_hamming`` bit flips, exact
-    cosine re-rank inside the probed set (expected candidate share
-    ≈ Σ_{d≤h} C(p,d) / 2^p of the corpus).  The bucketer must have been
-    built with the same (dim, n_planes, seed)."""
-    q = np.asarray(query, dtype=np.float64)
-    bucketer = HyperplaneBucketer(dim=q.shape[0], n_planes=n_planes,
-                                  seed=seed, col=col)
-    qb = bucketer.bucket_of(q)
+def _probe_buckets(qb: int, n_planes: int, probe_hamming: int) -> list[int]:
+    """Bucket ids within ``probe_hamming`` bit flips of the query's."""
     probes = {qb}
     if probe_hamming >= 1:
         probes |= {qb ^ (1 << i) for i in range(n_planes)}
@@ -330,7 +320,74 @@ def lsh_search(bucketed, query: np.ndarray, k: int = 10,
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qb ^ (1 << i) ^ (1 << j))
-    cand = bucketed.filter(expr=f"bucket in {sorted(probes)!r}")
+    return sorted(probes)
+
+
+def lsh_search(bucketed, query: np.ndarray, k: int = 10,
+               n_planes: int = 12, seed: int = 42,
+               probe_hamming: int = 1, col: str = "embedding"):
+    """ANN over a HyperplaneBucketer-bucketed dataset: probe the query's
+    bucket plus all buckets within ``probe_hamming`` bit flips, exact
+    cosine re-rank inside the probed set (expected candidate share
+    ≈ Σ_{d≤h} C(p,d) / 2^p of the corpus).  The bucketer must have been
+    built with the same (dim, n_planes, seed).
+
+    NOTE: this form filters a LIVE dataset — the filter still scans
+    every block.  At scale, build with :func:`lsh_build`
+    (``persist_dir=``) and search via :func:`lsh_search_persisted`,
+    which reads only the probed ``bucket=`` partitions (the same I/O
+    pruning ``ivf_search_persisted`` does)."""
+    q = np.asarray(query, dtype=np.float64)
+    bucketer = HyperplaneBucketer(dim=q.shape[0], n_planes=n_planes,
+                                  seed=seed, col=col)
+    probes = _probe_buckets(bucketer.bucket_of(q), n_planes, probe_hamming)
+    cand = bucketed.filter(expr=f"bucket in {probes!r}")
+    return knn_to_vector(cand, q, k=k, col=col)
+
+
+def lsh_build(ds, n_planes: int = 12, seed: int = 42,
+              col: str = "embedding", persist_dir: str | None = None):
+    """Bucket every vector with :class:`HyperplaneBucketer`; pass
+    ``persist_dir`` to also write the bucketed vectors as parquet
+    partitioned by ``bucket`` — ``lsh_search_persisted`` then reads ONLY
+    the probed partitions (the LSH mirror of ``ivf_build(persist_dir=)``).
+    Returns the bucketed Dataset."""
+    dim = len(ds.take(1)[0][col])
+    bucketed = ds.map_batches(
+        HyperplaneBucketer(dim=dim, n_planes=n_planes, seed=seed, col=col),
+        batch_format="pyarrow")
+    if persist_dir is not None:
+        bucketed.write_parquet(persist_dir, partition_cols=["bucket"],
+                               mode="overwrite")
+    return bucketed
+
+
+def lsh_search_persisted(persist_dir: str, query: np.ndarray, k: int = 10,
+                         n_planes: int = 12, seed: int = 42,
+                         probe_hamming: int = 1, col: str = "embedding"):
+    """Probe a persisted LSH index: reads ONLY the ``bucket=<b>`` parquet
+    partitions within the Hamming ball of the query's bucket — touches
+    ≈ Σ_{d≤h} C(p,d) / 2^p of the stored bytes instead of full-scan
+    filtering a live dataset (the partition-pruned scale path; mirrors
+    ``ivf_search_persisted``)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    import ray.data
+
+    q = np.asarray(query, dtype=np.float64)
+    bucketer = HyperplaneBucketer(dim=q.shape[0], n_planes=n_planes,
+                                  seed=seed, col=col)
+    probes = _probe_buckets(bucketer.bucket_of(q), n_planes, probe_hamming)
+    files = sorted(f for b in probes for f in glob.glob(
+        os.path.join(persist_dir, f"bucket={b}", "*.parquet")))
+    if not files:    # every probed bucket is empty → typed empty result
+        return ray.data.from_arrow(pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}))
+    cand = ray.data.read_parquet(files)
     return knn_to_vector(cand, q, k=k, col=col)
 
 
