@@ -60,6 +60,31 @@ ACTOR_NOUNS = ["team", "manager", "committee", "board"]
 # src/props/parseprops:24-30; RelaxedDepPathRelationTagger.java:69-70)
 PRONOUNS = {"he", "she", "they", "him", "her", "them"}
 
+# definite nominal anaphora (lowercase surface → entity type): "the
+# company" resolves to the nearest preceding ORGANIZATION mention, "the
+# director" to the nearest preceding PERSON — the nominal-mention side of
+# the reference's `resolve` coref stage (src/props/parseprops:24-30; the
+# pronoun rule above covers only the pronominal side).  Head nouns are
+# DISJOINT from ACTOR_NOUNS/WORK_NOUNS so the no-mention filler templates
+# (term/PMI pipelines) keep their plain-noun reading.
+NOMINAL_ANAPHORA = {
+    "the company": "ORGANIZATION",
+    "the firm": "ORGANIZATION",
+    "the director": "PERSON",
+    "the officer": "PERSON",
+}
+
+# anaphor surfaces (lowercase) per resolvable entity type; the PERSON
+# stream includes the pronouns
+ANAPHORA_BY_TYPE: dict[str, frozenset] = {
+    "PERSON": frozenset(PRONOUNS | {
+        s for s, t in NOMINAL_ANAPHORA.items() if t == "PERSON"}),
+    "ORGANIZATION": frozenset(
+        s for s, t in NOMINAL_ANAPHORA.items() if t == "ORGANIZATION"),
+}
+ANAPHOR_TYPES = tuple(ANAPHORA_BY_TYPE)
+ALL_ANAPHORA = frozenset().union(*ANAPHORA_BY_TYPE.values())
+
 AUX_VERBS = {
     "is", "are", "was", "were", "am", "be", "been", "being",
     "has", "have", "had", "will", "would", "did", "does", "do",
@@ -113,6 +138,13 @@ def build_entity_dict(extra_sets: dict[str, list[str]] | None = None) -> dict[tu
     for p in PRONOUNS:
         d[(p,)] = "PERSON"
         d[(p.capitalize(),)] = "PERSON"
+    # definite nominal anaphora ("the company" / "The company") are typed
+    # mentions the linker resolves to the nearest preceding mention of
+    # the same type (or drops the edge)
+    for phrase, etype in NOMINAL_ANAPHORA.items():
+        key = _phrase_key(phrase)
+        d[key] = etype
+        d[(key[0].capitalize(),) + key[1:]] = etype
     if extra_sets:
         for etype, phrases in extra_sets.items():
             for p in phrases:

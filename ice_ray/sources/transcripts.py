@@ -82,12 +82,16 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
     gold = []
     p1_introduced = False
     # coref tracking mirrors the linker's antecedent rule exactly: after a
-    # template turn the "last person" is the rightmost PERSON mention of
-    # that turn's edges (obj if the obj is a person, else the subj);
-    # path-less turns with a PERSON mention (the bracket template) also
-    # update it via @MENTION rows; pronoun turns do not move it.  Bare
-    # surnames count as mentions of the resolved full name.
+    # template turn the "last person" is the rightmost non-anaphor PERSON
+    # mention of that turn's edges (obj if the obj is a person, else the
+    # subj); path-less turns with a PERSON mention (the bracket template)
+    # also update it via @MENTION rows; anaphor surfaces (pronouns,
+    # "the director") never move it.  Bare surnames count as mentions of
+    # the resolved full name.  ``last_org`` tracks the rightmost
+    # ORGANIZATION mention the same way for the nominal-anaphora
+    # templates ("The company …" → that org).
     last_person: str | None = None
+    last_org: str | None = None
 
     def person_surface(full: str, introduced: bool) -> str:
         if introduced and rng.random() < 0.25:
@@ -131,6 +135,24 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
             else:
                 text = f"{pron} joined {org}."
                 g = [(last_person, "memberOf", org)]
+                last_org = org  # non-anaphor ORG mention (obj)
+        elif r < 0.38 and last_person is not None:
+            # definite nominal PERSON anaphor — "the director"/"the
+            # officer" resolves to the nearest preceding PERSON mention
+            if rng.random() < 0.5:
+                text = f"The director visited {city2}."
+                g = [(last_person, "visited", city2)]
+            else:
+                text = f"The officer lives in {city}."
+                g = [(last_person, "livesIn", city)]
+        elif r < 0.42 and last_org is not None:
+            # definite nominal ORGANIZATION anaphor — "the company"/"the
+            # firm" resolves to the nearest preceding ORGANIZATION mention
+            nom = rng.choice(["The company", "The firm"])
+            pers = rng.choice([p1_full, p2_full])
+            text = f"{nom} promoted {pers}."
+            g = [(last_org, "promoted", pers)]
+            last_person = pers  # rightmost non-anaphor PERSON mention (obj)
         else:
             t = rng.randrange(10)
             p1 = person_surface(p1_full, p1_introduced)
@@ -166,6 +188,8 @@ def generate_conversation(conv_seed: int, conv_id: str, n_turns: int):
                 g = [(p1_full, "seized", drug)]
             p1_introduced = p1_introduced or (p1 == p1_full)
             last_person = p2_full if t == 8 else p1_full
+            if t in (5, 6, 7):
+                last_org = org  # the turn's ORGANIZATION mention
         ts = _EPOCH + _dt.timedelta(seconds=conv_seed % 86400 + turn_idx * 37)
         turns.append((conv_id, turn_idx, role, text, tool, ts))
         for s, p, o in g:
@@ -229,8 +253,10 @@ def materialize_corpus(n_turns: int, seed: int = 42, base_dir: str = "/tmp/ice_r
     parameter-keyed directory; returns the directory.  Sharded with small
     row groups so Ray's read splits into many blocks (row-group
     granularity bounds read parallelism); cached across runs."""
-    # v4: bracket-turn mentions are coref antecedents (invalidates v3)
-    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v4")
+    # v5: nominal-anaphora templates ("The company promoted …",
+    # "The director visited …") join the pronoun templates (was v4:
+    # bracket-turn mentions as coref antecedents)
+    out = os.path.join(base_dir, f"turns{n_turns}_seed{seed}_v5")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

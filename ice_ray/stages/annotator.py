@@ -106,23 +106,25 @@ class AnnotateExtract:
         self._cache: dict[str, list] = {}
 
     def _mention_rows(self, ann: dict) -> list[dict]:
-        from ..nlp.lexicon import PRONOUNS
+        from ..nlp.lexicon import ALL_ANAPHORA, ANAPHOR_TYPES
 
-        seen: list[str] = []
+        seen: list[tuple[str, str]] = []
         text_mentions = ann["mentions"]
         for m in text_mentions:
-            if m[4] != "PERSON":
+            if m[4] not in ANAPHOR_TYPES:   # PERSON / ORGANIZATION
                 continue
             surface = ann["_text"][m[0]:m[1]]
-            if surface.lower() in PRONOUNS or surface in seen:
+            # anaphor surfaces (pronouns, "the company", …) are never
+            # antecedents themselves
+            if surface.lower() in ALL_ANAPHORA or (surface, m[4]) in seen:
                 continue
-            seen.append(surface)
+            seen.append((surface, m[4]))
         empty = {"arg2_text": "", "arg2_type": "", "path": "",
                  "typed_path": "@MENTION", "instance_key": ""}
         if self.emit_repr:
             empty = {**empty, "repr": "", "example": ""}
-        return [{"arg1_text": s, "arg1_type": "PERSON", **empty}
-                for s in seen]
+        return [{"arg1_text": s, "arg1_type": t, **empty}
+                for s, t in seen]
 
     def _rows_for(self, text: str) -> list:
         rows = self._cache.get(text)

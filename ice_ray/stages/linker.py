@@ -24,9 +24,14 @@ import pyarrow as pa
 import ray
 
 from ..functions.lookup import HashedStringMap
-from ..nlp.lexicon import PRONOUNS
+from ..nlp.lexicon import ALL_ANAPHORA, ANAPHOR_TYPES, ANAPHORA_BY_TYPE
 
-_PRON_ARR = pa.array(sorted(PRONOUNS))
+# anaphor surfaces (lowercase) per resolvable type: pronouns + nominal
+# PERSON anaphora ("the director") in the PERSON stream, nominal ORG
+# anaphora ("the company") in the ORGANIZATION stream
+_ANA_ARRS = {t: pa.array(sorted(s)) for t, s in ANAPHORA_BY_TYPE.items()}
+_ALL_ANA_ARR = pa.array(sorted(ALL_ANAPHORA))
+_ANA_TYPE_ARR = pa.array(list(ANAPHOR_TYPES))
 
 
 def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -37,7 +42,10 @@ def _link_bucket(df: pd.DataFrame) -> pd.DataFrame:
     pairs = (("subj", "subj_type"), ("obj", "obj_type"))
     regs = []
     for col, tcol in pairs:
-        m = df.loc[(df[tcol] == "PERSON") & df[col].str.contains(" "),
+        # exclude anaphor surfaces ("the director" is PERSON-typed with a
+        # space) — they are resolved by the coref pass, never registry rows
+        m = df.loc[(df[tcol] == "PERSON") & df[col].str.contains(" ")
+                   & ~df[col].str.lower().isin(ALL_ANAPHORA),
                    ["conv_id", col]].rename(columns={col: "full"})
         regs.append(m)
     reg = pd.concat(regs, ignore_index=True).drop_duplicates()
@@ -92,26 +100,34 @@ class MentionIndex:
     @classmethod
     def from_rows(cls, m: pd.DataFrame | None,
                   conv_set: set | None = None) -> "MentionIndex":
-        """(conv_id, _key, _name) frame → index.  Fully vectorized:
-        factorize + lexsort + boundary masks, no per-conversation loop.
+        """(conv_id, _etype, _key, _name) frame → index (a missing
+        ``_etype`` column defaults to PERSON).  The index key is the
+        (conversation, entity-type) STREAM — ``conv\\x01etype`` — so one
+        index serves pronoun (PERSON) and nominal (ORGANIZATION, …)
+        anaphora.  Fully vectorized: factorize + lexsort + boundary
+        masks, no per-conversation loop.
 
-        ``conv_set`` restricts the index to those conversations; the
-        filter runs on the factorized UNIQUES (one membership test per
-        conversation), not per row — a row-level ``Series.isin`` with a
-        10^5-string set over 10^7 mention rows was ~2s of serial driver
-        time for the same result."""
+        ``conv_set`` restricts the index to those conversations (raw
+        conv ids); the filter runs on the factorized UNIQUES (one
+        membership test per stream), not per row — a row-level
+        ``Series.isin`` with a 10^5-string set over 10^7 mention rows
+        was ~2s of serial driver time for the same result."""
         self = cls()
         if m is None or not len(m):
             return self
-        conv_codes, conv_uniq = pd.factorize(m["conv_id"])
+        etype = (m["_etype"] if "_etype" in m.columns
+                 else pd.Series("PERSON", index=m.index))
+        stream = (m["conv_id"] + "\x01" + etype).rename("conv_id")
+        conv_codes, conv_uniq = pd.factorize(stream)
         if conv_set is not None:
-            umask = pd.Index(conv_uniq).isin(conv_set)
+            umask = (pd.Index(conv_uniq).str.split("\x01").str[0]
+                     .isin(conv_set))
             if not umask.all():
                 keep = umask[conv_codes]
-                m = m[keep]
+                m, stream = m[keep], stream[keep]
                 if not len(m):
                     return self
-                conv_codes, conv_uniq = pd.factorize(m["conv_id"])
+                conv_codes, conv_uniq = pd.factorize(stream)
         # sort=True → code order == lexicographic name order, so "keep
         # the largest code per (conv, key)" preserves the historical
         # largest-name tie-break
@@ -137,16 +153,24 @@ class MentionIndex:
         """Arrow-native build: dictionary-encode both string columns in
         C++ and lexsort the integer codes — no pandas object-array
         factorize over the mention rows (that was most of the build
-        time at 10^7 rows).  Semantically identical to ``from_rows``:
-        UTF-8 byte order equals Python code-point order, so the
-        sorted-dictionary name ranks reproduce ``factorize(sort=True)``."""
+        time at 10^7 rows).  Semantically identical to ``from_rows``
+        (incl. the ``conv\\x01etype`` stream key; missing ``_etype``
+        defaults to PERSON): UTF-8 byte order equals Python code-point
+        order, so the sorted-dictionary name ranks reproduce
+        ``factorize(sort=True)``."""
         import pyarrow.compute as pc
 
         self = cls()
         if t is None or t.num_rows == 0:
             return self
-        conv_enc = pc.dictionary_encode(
-            t.column("conv_id").combine_chunks())
+        conv_raw = t.column("conv_id").combine_chunks()
+        if "_etype" in t.column_names:
+            stream = pc.binary_join_element_wise(
+                conv_raw, t.column("_etype").combine_chunks(), "\x01")
+        else:
+            stream = pc.binary_join_element_wise(
+                conv_raw, pa.array(["PERSON"] * len(conv_raw)), "\x01")
+        conv_enc = pc.dictionary_encode(stream)
         conv_codes = conv_enc.indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         conv_uniq = conv_enc.dictionary.to_pylist()
@@ -156,8 +180,9 @@ class MentionIndex:
         name_codes = name_enc.indices.to_numpy(
             zero_copy_only=False).astype(np.int64)
         if conv_set is not None:
-            umask = np.fromiter((c in conv_set for c in conv_uniq),
-                                bool, len(conv_uniq))
+            umask = np.fromiter(
+                (c.split("\x01", 1)[0] in conv_set for c in conv_uniq),
+                bool, len(conv_uniq))
             if not umask.all():
                 keep = umask[conv_codes]
                 if not keep.any():
@@ -188,7 +213,9 @@ class MentionIndex:
 
     def resolve(self, convs: np.ndarray, turns: np.ndarray) -> np.ndarray:
         """Vectorized antecedent lookup → object array of names (None
-        where the conversation is unknown or no mention precedes)."""
+        where the stream is unknown or no mention precedes).  ``convs``
+        holds ``conv\\x01etype`` stream keys (as built by
+        from_rows/from_arrow)."""
         n = len(convs)
         out = np.full(n, None, dtype=object)
         if not len(self.gkeys) or n == 0:
@@ -205,9 +232,13 @@ class MentionIndex:
 
 
 def _resolve_pron_df(df: pd.DataFrame, index: MentionIndex) -> np.ndarray:
-    """Resolve pronoun PERSON arguments of an edge frame in place via the
-    index; returns the keep mask (False = unresolvable pronoun edge).
-    Vectorized: one ``MentionIndex.resolve`` call per argument column."""
+    """Resolve anaphoric arguments (pronouns + definite nominals) of an
+    edge frame in place via the index; returns the keep mask (False =
+    unresolvable anaphor edge).  The antecedent stream is the argument's
+    own entity type: a PERSON pronoun/nominal probes the conversation's
+    PERSON mentions, "the company" (ORGANIZATION) its ORGANIZATION
+    mentions.  Vectorized: one ``MentionIndex.resolve`` call per argument
+    column."""
     keep = np.ones(len(df), dtype=bool)
     if not len(df):
         return keep
@@ -215,12 +246,18 @@ def _resolve_pron_df(df: pd.DataFrame, index: MentionIndex) -> np.ndarray:
     turns = df["turn_idx"].to_numpy()
     for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
         vals = df[col].to_numpy().copy()
-        is_pron = ((df[tcol] == "PERSON").to_numpy()
-                   & pd.Series(vals).str.lower().isin(PRONOUNS).to_numpy())
-        idx = np.flatnonzero(is_pron)
+        low = pd.Series(vals).str.lower()
+        types = df[tcol].to_numpy()
+        is_ana = np.zeros(len(df), dtype=bool)
+        for t, surfaces in ANAPHORA_BY_TYPE.items():
+            is_ana |= (types == t) & low.isin(surfaces).to_numpy()
+        idx = np.flatnonzero(is_ana)
         if not idx.size:
             continue
-        names = index.resolve(convs[idx], turns[idx])
+        # per-(conversation, type) antecedent stream keys
+        keys = np.char.add(np.char.add(convs[idx].astype(str), "\x01"),
+                           types[idx].astype(str))
+        names = index.resolve(keys, turns[idx])
         ok = np.not_equal(names, None)
         keep[idx[~ok]] = False
         vals[idx[ok]] = names[ok]
@@ -228,30 +265,38 @@ def _resolve_pron_df(df: pd.DataFrame, index: MentionIndex) -> np.ndarray:
     return keep
 
 
-# --- pronoun coreference pass ---------------------------------------------
-# Conversation-scoped nearest-preceding-PERSON resolution (gender-free) —
-# the `resolve` stage analog (src/props/parseprops:24-30; coref merge in
-# aceJet/RelaxedDepPathRelationTagger.java:69-70).  Runs AFTER link +
-# canonicalization as its own bucketed exchange: slim (conv, key, name)
-# mention rows + the (rare) pronoun edges shuffle by hash(conv_id); each
-# bucket resolves in pandas.  Nothing lands on the driver, so the pass
-# scales with the edge table, and it is skipped entirely when the corpus
-# has no pronoun edges.
+# --- anaphora (pronoun + nominal) coreference pass -------------------------
+# Conversation-scoped nearest-preceding type-compatible antecedent
+# resolution — the `resolve` stage analog (src/props/parseprops:24-30;
+# coref merge in aceJet/RelaxedDepPathRelationTagger.java:69-70): PERSON
+# pronouns (gender-free) AND definite nominal anaphora ("the company" →
+# nearest ORGANIZATION, "the director" → nearest PERSON).  Runs as its
+# own bucketed exchange: slim (conv, etype, key, name) mention rows + the
+# (rare) anaphor edges shuffle by hash(conv_id); each bucket resolves in
+# pandas.  Nothing lands on the driver, so the pass scales with the edge
+# table, and it is skipped entirely when the corpus has no anaphor edges.
 
 def _pron_col_mask(batch: pa.Table, col: str, tcol: str):
+    """True where the argument is an anaphor of its own entity type
+    (PERSON pronoun/nominal, ORGANIZATION nominal)."""
     import pyarrow.compute as pc
 
-    vals = batch.column(col)
-    return pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                   pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR))
+    low = pc.utf8_lower(batch.column(col))
+    m = None
+    for t, arr in _ANA_ARRS.items():
+        mm = pc.and_(pc.equal(batch.column(tcol), t),
+                     pc.is_in(low, value_set=arr))
+        m = mm if m is None else pc.or_(m, mm)
+    return m
 
 
 def _mention_partial(batch: pa.Table, convs) -> pa.Table:
-    """Slim (conv_id, _key, _name) PERSON mention rows from BOTH argument
-    columns of every edge row — including the non-pronoun column of a
-    pronoun-bearing edge ("He met Alice Jones" supplies Alice Jones as an
-    antecedent for later pronouns).  ``convs`` (optional set) filters to
-    pronoun-bearing conversations map-side."""
+    """Slim (conv_id, _etype, _key, _name) mention rows — one per
+    PERSON/ORGANIZATION (non-anaphor) argument of every edge row,
+    including the non-anaphor column of an anaphor-bearing edge ("He met
+    Alice Jones" supplies Alice Jones as an antecedent for later
+    anaphors).  ``convs`` (optional set) filters to anaphor-bearing
+    conversations map-side."""
     import pyarrow.compute as pc
 
     if convs is not None:
@@ -263,7 +308,8 @@ def _mention_partial(batch: pa.Table, convs) -> pa.Table:
     parts = []
     for flag, (col, tcol) in enumerate((("subj", "subj_type"),
                                         ("obj", "obj_type"))):
-        mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+        mask = pc.and_(pc.is_in(batch.column(tcol),
+                                value_set=_ANA_TYPE_ARR),
                        pc.invert(_pron_col_mask(batch, col, tcol)))
         sel = batch.filter(mask)
         if sel.num_rows == 0:
@@ -271,10 +317,12 @@ def _mention_partial(batch: pa.Table, convs) -> pa.Table:
         key = pc.add(pc.multiply(pc.cast(sel.column("turn_idx"),
                                          pa.int64()), 2), flag)
         parts.append(pa.table({"conv_id": sel.column("conv_id"),
+                               "_etype": sel.column(tcol),
                                "_key": key,
                                "_name": sel.column(col)}))
     if not parts:
         return pa.table({"conv_id": pa.array([], pa.string()),
+                         "_etype": pa.array([], pa.string()),
                          "_key": pa.array([], pa.int64()),
                          "_name": pa.array([], pa.string())})
     return pa.concat_tables(parts)
@@ -431,14 +479,14 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
         if resolved is not None:
             return non_pron.union(resolved)
 
-    all_cols = ["conv_id", "_key", "_name"] + \
+    all_cols = ["conv_id", "_etype", "_key", "_name"] + \
         [c for c in edge_cols if c != "conv_id"]
 
     def exchange_rows(batch: pa.Table) -> pa.Table:
-        """ONE scan emits both exchange sides: slim (conv_id, _key,
-        _name) PERSON mention events for pronoun-bearing conversations
-        (from all edge rows, including the non-pronoun column of
-        pronoun-bearing ones) AND the pronoun edge rows themselves —
+        """ONE scan emits both exchange sides: slim (conv_id, _etype,
+        _key, _name) mention events for anaphor-bearing conversations
+        (from all edge rows, including the non-anaphor column of
+        anaphor-bearing ones) AND the anaphor edge rows themselves —
         padded to the union schema (missing columns null)."""
         pron_mask = batch.column("_pron")
         body = batch.drop_columns(["_pron"])
@@ -448,7 +496,8 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
                 typ = body.schema.field(c).type
                 m = m.append_column(c, pa.nulls(m.num_rows, typ))
         p = body.filter(pron_mask)
-        p = (p.append_column("_key", pa.nulls(p.num_rows, pa.int64()))
+        p = (p.append_column("_etype", pa.nulls(p.num_rows, pa.string()))
+              .append_column("_key", pa.nulls(p.num_rows, pa.int64()))
               .append_column("_name", pa.nulls(p.num_rows, pa.string())))
         return pa.concat_tables([m.select(all_cols), p.select(all_cols)])
 
@@ -469,7 +518,7 @@ def resolve_pronoun_edges(edges: "ray.data.Dataset",
                           pc.is_null(t.column("_key")))
         idx = MentionIndex.from_arrow(
             t.filter(pc.invert(is_edge))
-             .select(["conv_id", "_key", "_name"]))
+             .select(["conv_id", "_etype", "_key", "_name"]))
         e = t.filter(is_edge).select(edge_cols).to_pandas()
         if not len(e):
             return arrow_schema.empty_table()
@@ -553,8 +602,11 @@ def _registry_partial(batch: pa.Table) -> pa.Table:
 
     rows: set[tuple[str, str, str]] = set()
     for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
-        mask = pc.and_(pc.equal(batch.column(tcol), "PERSON"),
-                       pc.match_substring(batch.column(col), " "))
+        mask = pc.and_(
+            pc.and_(pc.equal(batch.column(tcol), "PERSON"),
+                    pc.match_substring(batch.column(col), " ")),
+            pc.invert(pc.is_in(pc.utf8_lower(batch.column(col)),
+                               value_set=_ALL_ANA_ARR)))
         sel = batch.filter(mask)
         for c, v in zip(sel.column("conv_id").to_pylist(),
                         sel.column(col).to_pylist()):
@@ -572,10 +624,11 @@ def _link_state_agg(edges: "ray.data.Dataset"):
     partial row kinds from a single map_batches —
     R: distinct (conv, surname, full) registry rows;
     S: non-bare surface counts; B: bare (conv, surname) counts;
-    P: distinct conversations with a pronoun argument (consumed by the
-    fused coref rewrite, so no separate tag/filter barrier is needed) —
-    reduced in one bucketed aggregate.  Pronoun surfaces are excluded
-    from R/S/B (they are resolved by the coref rewrite)."""
+    P: distinct conversations with an anaphor argument — pronoun or
+    definite nominal (consumed by the fused coref rewrite, so no
+    separate tag/filter barrier is needed) — reduced in one bucketed
+    aggregate.  Anaphor surfaces are excluded from R/S/B (they are
+    resolved by the coref rewrite)."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import grouped_aggregate
@@ -606,10 +659,13 @@ def _link_state_agg(edges: "ray.data.Dataset"):
         for col, tcol in (("subj", "subj_type"), ("obj", "obj_type")):
             vals = batch.column(col).combine_chunks()
             is_person = pc.equal(batch.column(tcol), "PERSON")
-            is_pron = pc.is_in(pc.utf8_lower(vals), value_set=_PRON_ARR)
+            # anaphor surfaces (pronouns + definite nominals) by surface
+            # alone — the typed surfaces are disjoint from the name
+            # vocabulary, so no type cross-check is needed here
+            is_pron = pc.is_in(pc.utf8_lower(vals), value_set=_ALL_ANA_ARR)
             is_name = pc.and_(is_person, pc.invert(is_pron))
-            # P rows: conversations with a PERSON-typed pronoun argument
-            selp = batch.filter(pc.and_(is_person, is_pron))
+            # P rows: conversations with an anaphoric argument (any type)
+            selp = batch.filter(is_pron)
             if selp.num_rows:
                 pconvs = pc.unique(selp.column("conv_id").combine_chunks())
                 tables.append(_rows("P", pconvs, "", None))

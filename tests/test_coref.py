@@ -162,3 +162,62 @@ def test_canonicalize_cap_paths_equal(ray_session):
     assert len(spec) > 0
     pd.testing.assert_frame_equal(spec, nonspec)
     pd.testing.assert_frame_equal(spec, fallback)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_nominal_org_anaphora(ray_session, strategy):
+    """"The company"/"The firm" (ORGANIZATION nominal) resolves to the
+    nearest preceding ORGANIZATION mention — the nominal-mention side of
+    the reference's resolve stage (src/props/parseprops:24-30)."""
+    triples = _build([
+        "Fred Smith joined Globex.",
+        "The company promoted Mary Jones.",   # → Globex
+        "The firm promoted Karl Brown.",      # → Globex
+    ], strategy)
+    assert ("Globex", "promoted", "Mary Jones") in triples
+    assert ("Globex", "promoted", "Karl Brown") in triples
+    assert not any(s.lower() in {"the company", "the firm"}
+                   for s, _, _ in triples)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_nominal_person_anaphora(ray_session, strategy):
+    """"The director"/"The officer" (PERSON nominal) resolves to the
+    nearest preceding PERSON mention; ORG mentions do not shadow it."""
+    triples = _build([
+        "Acme Corp promoted Mary Jones.",
+        "The director visited Paris.",        # → Mary Jones (not Acme)
+        "Fred Smith joined Globex.",
+        "The officer lives in Chicago.",      # → Fred Smith
+    ], strategy)
+    assert ("Mary Jones", "visited", "Paris") in triples
+    assert ("Fred Smith", "livesIn", "Chicago") in triples
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_nominal_type_streams_are_independent(ray_session, strategy):
+    """A PERSON nominal must NOT resolve to an ORGANIZATION antecedent
+    and vice versa; with no type-compatible antecedent the edge drops."""
+    triples = _build([
+        "Fred Smith lives in Chicago.",
+        "The company promoted Mary Jones.",   # no ORG antecedent → dropped
+        "The director visited Paris.",        # → Mary Jones (her mention
+        # survives the dropped edge — discourse antecedents come from
+        # mentions, not from surviving edges)
+    ], strategy)
+    assert ("Mary Jones", "visited", "Paris") in triples
+    assert not any(p == "promoted" for _, p, _ in triples)
+    assert not any(s == "The company" for s, _, _ in triples)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_nominal_and_pronoun_interleave(ray_session, strategy):
+    """The person promoted by "The company" becomes the pronoun
+    antecedent for the next turn (the obj mention moves last-person)."""
+    triples = _build([
+        "Fred Smith joined Globex.",
+        "The company promoted Mary Jones.",
+        "She visited Berlin.",                # She → Mary Jones
+    ], strategy)
+    assert ("Globex", "promoted", "Mary Jones") in triples
+    assert ("Mary Jones", "visited", "Berlin") in triples
