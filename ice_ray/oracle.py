@@ -932,12 +932,22 @@ def gold_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------------- write gold
 
+def _template_gold(name: str):
+    """Round-4 oracle-rigor swap: these four golds are written from the
+    TEMPLATE-GRAMMAR derivation (gold_templates.py — hand-pinned expected
+    rows per corpus sentence shape, no shared extraction code); the
+    serial-reference versions above remain as a cross-check
+    (tests/test_gold_oracle.py asserts template == serial)."""
+    from . import gold_templates as gt
+    return getattr(gt, f"gold_{name}_template")
+
+
 SYNTH_GOLD = {
     "kg_edges": gold_kg_edges,
-    "path_type_counts": gold_path_type_counts,
-    "path_instance_counts": gold_path_instance_counts,
-    "tree_counts": gold_tree_counts,
-    "events_decoded": gold_events_decoded,
+    "path_type_counts": _template_gold("path_type_counts"),
+    "path_instance_counts": _template_gold("path_instance_counts"),
+    "tree_counts": _template_gold("tree_counts"),
+    "events_decoded": _template_gold("events_decoded"),
     "annotations": gold_annotations,
     "ice_terms": gold_ice_terms,
     "pmi_index": gold_pmi_index,

@@ -77,3 +77,48 @@ def test_independent_spec_implementations_agree_with_kernels():
                         "text": pa.array([t])})
         assert _quality_spec(t) == quality_score(tbl)["quality"][0].as_py(), repr(t)
         assert _lang_id_spec(t) == LangId()(tbl)["lang_pred"][0].as_py(), repr(t)
+
+
+def test_template_grammar_golds_match_serial_reference():
+    """Round-4 oracle-rigor swap: the template-grammar golds
+    (gold_templates.py — hand-pinned rows per corpus sentence shape, no
+    shared extraction code) must equal the serial-reference golds row
+    for row.  A change to the corpus grammar, the extractor, or the
+    pinned expectations breaks this from one side or the other."""
+    from ice_ray import gold_templates as gt
+    from ice_ray import oracle as o
+
+    def canon(df, keys):
+        return (df.sort_values(keys, kind="mergesort")
+                .reset_index(drop=True))
+
+    pairs = [
+        (o.gold_path_type_counts(), gt.gold_path_type_counts_template(),
+         ["typed_path"]),
+        (o.gold_path_instance_counts(),
+         gt.gold_path_instance_counts_template(), ["instance_key"]),
+        (o.gold_tree_counts(), gt.gold_tree_counts_template(), ["core"]),
+        (o.gold_events_decoded(), gt.gold_events_decoded_template(),
+         ["conv_id", "turn_idx", "core"]),
+    ]
+    for serial, templ, keys in pairs:
+        a, b = canon(serial, keys), canon(templ, keys)[serial.columns.tolist()]
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                      check_like=True)
+
+
+def test_template_rows_cover_every_corpus_turn_shape():
+    """Every corpus turn either matches a pinned template shape or is a
+    known row-less shape (tool JSON, fillers, >600-char sentence,
+    bracketed sentence) — no silent fall-through of a row-bearing turn."""
+    from ice_ray.gold_templates import template_rows
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, _ = generate_transcripts(2000, seed=7)
+    rowless_markers = ('{"status"', "Thanks for", "Please summarize",
+                       "That sounds", "What happened", "The log contains",
+                       "The file (see notes)", "The weather in")
+    for text in set(tr.column("text").to_pylist()):
+        prows, trows = template_rows(text)
+        if not prows and not trows:
+            assert text.startswith(rowless_markers), text
