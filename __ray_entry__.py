@@ -678,6 +678,29 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Contiguous sequence packing into 2048-token budgets via a
+    distributed two-phase prefix sum (stages/packing.py)."""
+    import ray.data
+
+    from ice_ray.stages.packing import pack_sequences
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pack_sequences(docs, budget=2048)
+
+
+def _q_token_percentiles(sf_dir: str):
+    """Exact p50/p90/p99 of per-doc token counts (histogram partials +
+    pinned min-v-with-cum≥ceil(p·n) rule, stages/packing.py)."""
+    import ray.data
+
+    from ice_ray.stages.packing import _with_ntokens, exact_percentiles
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return exact_percentiles(_with_ntokens(docs, "text", "doc_id"),
+                             "n_tokens")
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction over documents deterministically augmented with
     synthetic contact strings (the base corpus is PII-free, so the
@@ -772,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "cross_doc_ngrams": _q_cross_doc_ngrams,
+        "pack_sequences": _q_pack_sequences,
+        "token_percentiles": _q_token_percentiles,
     }
 
 
@@ -980,6 +1005,29 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY d.lang
                        ORDER BY q.quality DESC, q.doc_id) AS rn
               FROM q JOIN d USING (doc_id)) WHERE rn <= 3
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
+            FROM c
+        """,
+        "token_percentiles": f"""
+            WITH t AS (SELECT len({_TOK})::BIGINT AS v FROM documents),
+            h AS (SELECT v, count(*)::BIGINT AS c FROM t GROUP BY 1),
+            s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+                         (SELECT SUM(c) FROM h) AS n
+                  FROM h)
+            SELECT (SELECT MIN(v) FROM s WHERE cum >= CEIL(0.5 * n)) AS p50,
+                   (SELECT MIN(v) FROM s WHERE cum >= CEIL(0.9 * n)) AS p90,
+                   (SELECT MIN(v) FROM s WHERE cum >= CEIL(0.99 * n)) AS p99
         """,
         # --- gold-parquet oracles (synthetic corpus; scale-independent) ---
         "kg_edges": _gold_synth("kg_edges"),

@@ -359,3 +359,52 @@ def test_decontaminate_byte_gate_falls_to_join(ray_session):
         b[cols].sort_values("doc_id").reset_index(drop=True)
         .astype(a[cols].dtypes.to_dict()))
     assert a.set_index("doc_id").loc[1, "contaminated_grams"] == 3
+
+
+def test_pack_sequences_block_layout_invariant(ray_session):
+    """Packing is a global prefix sum: the result must be identical for
+    1-block and many-block layouts of the same rows (the distributed
+    two-phase offsets must compose exactly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.packing import pack_sequences
+
+    rs = np.random.RandomState(5)
+    n = 5000
+    texts = [" ".join("tok%d" % j for j in range(rs.randint(1, 60)))
+             for _ in range(n)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(texts)})
+    one = (pack_sequences(ray.data.from_arrow(tbl), budget=512)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    many = (pack_sequences(ray.data.from_arrow(tbl).repartition(37),
+                           budget=512)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    # serial reference: exclusive cumsum // budget
+    ntok = one["n_tokens"].to_numpy()
+    want = (np.cumsum(ntok) - ntok) // 512
+    assert (one["seq_id"].to_numpy() == want).all()
+    # contiguity: seq ids are non-decreasing in doc order, start at 0
+    assert one["seq_id"].iloc[0] == 0
+    assert (np.diff(one["seq_id"].to_numpy()) >= 0).all()
+
+
+def test_exact_percentiles_matches_numpy_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.packing import exact_percentiles
+
+    rs = np.random.RandomState(9)
+    v = rs.zipf(1.5, 20000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"n_tokens": pa.array(v)})).repartition(23)
+    got = exact_percentiles(ds, "n_tokens", ps=(0.5, 0.9, 0.99))
+    sv = np.sort(v)
+    for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        # pinned rule: min value whose cumulative count >= ceil(p*n)
+        want = int(sv[int(np.ceil(p * len(sv))) - 1])
+        assert int(got[col].iloc[0]) == want, (col, got)
