@@ -318,3 +318,45 @@ def gold_events_decoded_template(n_turns: int = 1500) -> pd.DataFrame:
                              "trigger": r["trigger"], "core": r["core"],
                              "repr": r["repr"], "event_type": et})
     return pd.DataFrame(rows)
+
+
+def template_path_rows_df(n_turns: int) -> pd.DataFrame:
+    """Per-turn path rows as a frame (the column shape of
+    ``oracle._serial_path_rows``), from the template derivation."""
+    rows = []
+    for cid, ti, prows, _ in _corpus_rows(n_turns):
+        for r in prows:
+            rows.append({"conv_id": cid, "turn_idx": ti, **r})
+    return pd.DataFrame(rows)
+
+
+def template_tree_rows_df(n_turns: int) -> pd.DataFrame:
+    """Per-turn tree rows (the column shape of
+    ``oracle._serial_tree_rows``, incl. the nsubj:dobj arg_pair)."""
+    rows = []
+    for cid, ti, _, trows in _corpus_rows(n_turns):
+        for r in trows:
+            by_role = dict(zip(r["roles"], r["arg_values"]))
+            rows.append({"conv_id": cid, "turn_idx": ti,
+                         "trigger": r["trigger"], "core": r["core"],
+                         "repr": r["repr"],
+                         "arg_pair": (by_role.get("nsubj", "").lower()
+                                      + ":"
+                                      + by_role.get("dobj", "").lower())})
+    return pd.DataFrame(rows)
+
+
+def gold_bootstrap_candidates_template(n_turns: int = 2000) -> pd.DataFrame:
+    """Shared-arg path bootstrap over TEMPLATE-derived path rows (the
+    candidate logic is the oracle's pandas re-derivation; only the path
+    rows come from the independent template derivation)."""
+    from .oracle import gold_bootstrap_candidates
+    return gold_bootstrap_candidates(
+        n_turns, df=template_path_rows_df(n_turns))
+
+
+def gold_event_bootstrap_candidates_template(
+        n_turns: int = 1500) -> pd.DataFrame:
+    from .oracle import gold_event_bootstrap_candidates
+    return gold_event_bootstrap_candidates(
+        n_turns, df=template_tree_rows_df(n_turns))

@@ -337,8 +337,11 @@ def gold_pmi_index(n_turns: int = 1500, min_pmi: float = 0.1) -> pd.DataFrame:
 
 def gold_bootstrap_candidates(n_turns: int = 2000,
                               seeds=("nsubj-1:live:prep:in:pobj",),
-                              min_shared: int = MIN_RELATION_COUNT) -> pd.DataFrame:
-    df = _serial_path_rows(n_turns, emit_repr=True)
+                              min_shared: int = MIN_RELATION_COUNT,
+                              df: pd.DataFrame | None = None) -> pd.DataFrame:
+    if df is None:
+        df = _serial_path_rows(n_turns, emit_repr=True)
+    df = df.copy()
     df["arg_pair"] = (df["arg1_text"].str.lower() + ":"
                       + df["arg2_text"].str.lower())
     seed_set = set(seeds)
@@ -359,13 +362,16 @@ def gold_event_bootstrap_candidates(
         n_turns: int = 1500,
         seeds=("discuss nsubj:OTHER dobj:OTHER",),
         min_shared: int = 1, min_score: float = 0.05,
-        max_items: int = 100) -> pd.DataFrame:
+        max_items: int = 100,
+        df: pd.DataFrame | None = None) -> pd.DataFrame:
     """Serial pandas re-derivation of the event bootstrap
     (events/EventBootstrap.java:236-409): shared-arg candidate trees,
     ``s/t · s/(s+1)`` scores, 0.05 floor, cap 100, repr-dedup."""
     from .pipelines.events import _core_prefix, event_bootstrap_score
 
-    df = _serial_tree_rows(n_turns)
+    if df is None:
+        df = _serial_tree_rows(n_turns)
+    df = df.copy()
     df["pcore"] = df["core"].map(_core_prefix)
     df["ptrig"] = df["pcore"].str.split(" ").str[0]
     seed_set = set(seeds)
@@ -951,8 +957,8 @@ SYNTH_GOLD = {
     "annotations": gold_annotations,
     "ice_terms": gold_ice_terms,
     "pmi_index": gold_pmi_index,
-    "bootstrap_candidates": gold_bootstrap_candidates,
-    "event_bootstrap_candidates": gold_event_bootstrap_candidates,
+    "bootstrap_candidates": _template_gold("bootstrap_candidates"),
+    "event_bootstrap_candidates": _template_gold("event_bootstrap_candidates"),
     "soft_decode": gold_soft_decode,
     "media_features": gold_media_features,
     "audio_features": gold_audio_features,

@@ -100,6 +100,10 @@ def test_template_grammar_golds_match_serial_reference():
         (o.gold_tree_counts(), gt.gold_tree_counts_template(), ["core"]),
         (o.gold_events_decoded(), gt.gold_events_decoded_template(),
          ["conv_id", "turn_idx", "core"]),
+        (o.gold_bootstrap_candidates(),
+         gt.gold_bootstrap_candidates_template(), ["path"]),
+        (o.gold_event_bootstrap_candidates(),
+         gt.gold_event_bootstrap_candidates_template(), ["pcore"]),
     ]
     for serial, templ, keys in pairs:
         a, b = canon(serial, keys), canon(templ, keys)[serial.columns.tolist()]
