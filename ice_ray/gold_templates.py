@@ -360,3 +360,212 @@ def gold_event_bootstrap_candidates_template(
     from .oracle import gold_event_bootstrap_candidates
     return gold_event_bootstrap_candidates(
         n_turns, df=template_tree_rows_df(n_turns))
+
+
+# --- template-grammar annotations (independent P1-chain derivation) --------
+# A from-scratch mini-annotator for the CLOSED corpus grammar: its own
+# tokenizer regex, a PINNED word→POS table (replacing the suffix-heuristic
+# tagger), regex longest-match mentions (replacing the token-tuple
+# scanner), and per-shape pinned dependency patterns (replacing the
+# parser entirely).  Every corpus turn is single-sentence by construction.
+
+_T_RE = re.compile(r"\$?\d+(?:[.,]\d+)*|[A-Za-z]+(?:['\-][A-Za-z]+)*|'s|\S")
+_D_RE = re.compile(r"\$?\d")
+
+# pinned POS per vocabulary word (lowercased key); everything else:
+# digits → CD, single non-alpha char → itself, default NN
+_POS: dict[str, str] = {
+    "was": "VBD", "has": "VBZ",
+    **{w: "VBD" for w in ("lived", "visited", "died", "joined", "promoted",
+                          "met", "seized", "discussed", "reviewed",
+                          "approved", "rejected", "shot")},
+    "lives": "VBZ", "works": "VBZ", "report": "VB",
+    "the": "DT", "a": "DT", "that": "DT",
+    "in": "IN", "for": "IN", "of": "IN", "to": "TO", "and": "CC",
+    **{w: "NNS" for w in ("thanks", "notes", "mentions", "sounds", "rows",
+                          "contains")},
+}
+
+# mention alternation: longest-first over the closed entity surfaces
+from .nlp.lexicon import NOMINAL_ANAPHORA  # noqa: E402
+
+
+def _mention_regex() -> "re.Pattern":
+    surfaces: set[str] = set()
+    for f in FIRST_NAMES:
+        surfaces.add(f)
+        for l in LAST_NAMES:
+            surfaces.add(f + " " + l)
+    surfaces |= set(LAST_NAMES) | set(CITIES) | set(COUNTRIES)
+    surfaces |= set(ORGS) | set(DRUGS)
+    for p in ("he", "she", "they", "him", "her", "them"):
+        surfaces |= {p, p.capitalize()}
+    for ph in NOMINAL_ANAPHORA:
+        surfaces |= {ph, ph[0].upper() + ph[1:]}
+    alt = "|".join(re.escape(s)
+                   for s in sorted(surfaces, key=len, reverse=True))
+    return re.compile(rf"(?<![A-Za-z])(?:{alt})(?![A-Za-z])")
+
+
+_MENT_RE = _mention_regex()
+_NAME_TYPE: dict[str, str] = {}
+for _f in FIRST_NAMES:
+    _NAME_TYPE[_f] = "PERSON"
+    for _l in LAST_NAMES:
+        _NAME_TYPE[_f + " " + _l] = "PERSON"
+for _l in LAST_NAMES:
+    _NAME_TYPE[_l] = "PERSON"
+for _c in CITIES + COUNTRIES:
+    _NAME_TYPE[_c] = "GPE"
+for _o in ORGS:
+    _NAME_TYPE[_o] = "ORGANIZATION"
+for _d in DRUGS:
+    _NAME_TYPE[_d] = "DRUGS"
+for _p in ("he", "she", "they", "him", "her", "them"):
+    _NAME_TYPE[_p] = _NAME_TYPE[_p.capitalize()] = "PERSON"
+for _ph, _t in NOMINAL_ANAPHORA.items():
+    _NAME_TYPE[_ph] = _NAME_TYPE[_ph[0].upper() + _ph[1:]] = _t
+
+_TIME_WORDS = ("yesterday", "today", "tomorrow")
+
+# per-shape dependency patterns over the COLLAPSED token words: each
+# entry is (label, src word index, tgt word index) into the collapsed
+# token list of that shape (pinned from the grammar, not parsed)
+_DEP_SHAPES: list[tuple["re.Pattern", list[tuple[str, int, int]]]] = [
+    (re.compile(rf"{_SUBJ} lives in {_CITY}\."),
+     [("nsubj", 1, 0), ("prep", 1, 2), ("pobj", 2, 3), ("punct", 1, 4)]),
+    (re.compile(rf"{_SUBJ} has lived in {_CITY}\."),
+     [("vch", 1, 2), ("nsubj", 1, 0), ("prep", 2, 3), ("pobj", 3, 4),
+      ("punct", 1, 5)]),
+    (re.compile(rf"{_SUBJ} visited {_CITY}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 2), ("punct", 1, 3)]),
+    (re.compile(rf"{_SUBJ} died yesterday in {_CITY}, {_CO}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 2), ("prep", 1, 3), ("pobj", 3, 4),
+      ("appos", 4, 6), ("punct", 1, 7)]),
+    (re.compile(rf"{_SUBJ} was shot in {_CITY}\."),
+     [("vch", 1, 2), ("nsubj", 1, 0), ("prep", 2, 3), ("pobj", 3, 4),
+      ("punct", 1, 5)]),
+    (re.compile(rf"{_SUBJ} joined {_ORG}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 2), ("punct", 1, 3)]),
+    (re.compile(rf"{_ORGA} promoted {_OBJP}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 2), ("punct", 1, 3)]),
+    (re.compile(rf"{_SUBJ} works for {_ORG}\."),
+     [("nsubj", 1, 0), ("prep", 1, 2), ("pobj", 2, 3), ("punct", 1, 4)]),
+    (re.compile(rf"{_SUBJ} met {_OBJP} in {_CITY}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 2), ("prep", 1, 3), ("pobj", 3, 4),
+      ("punct", 1, 5)]),
+    (re.compile(rf"{_SUBJ} seized a pound of {_DRUG}\."),
+     [("nsubj", 1, 0), ("dobj", 1, 3), ("prep", 3, 4), ("pobj", 4, 5),
+      ("punct", 1, 6)]),
+    (re.compile(rf"The (?:{_alt(ACTOR_NOUNS)}) "
+                rf"(?:discussed|reviewed|approved|rejected) "
+                rf"the (?:{_alt(WORK_NOUNS)})\."),
+     [("nsubj", 2, 1), ("dobj", 2, 4), ("punct", 2, 5)]),
+    (re.compile(rf"The weather in {_CITY} was pleasant\."),
+     [("nsubj", 4, 3), ("dobj", 4, 5), ("punct", 4, 6)]),
+    (re.compile(r"Please summarize the report\."),
+     [("nsubj", 3, 1), ("punct", 3, 4)]),
+]
+
+
+def annotate_template(text: str) -> dict:
+    """Independent annotation of one corpus turn: {sentences, tokens,
+    mentions, deps} in the exact tuple shapes of core.annotate."""
+    raw = [(m.start(), m.end(), m.group()) for m in _T_RE.finditer(text)]
+    # mentions: longest-first regex + NUMBER/TIME token rules
+    ments: list[tuple] = []
+    for m in _MENT_RE.finditer(text):
+        etype = _NAME_TYPE[m.group()]
+        ments.append((m.start(), m.end(), m.start(), m.end(), etype, "NAM"))
+    name_spans = [(a, b) for a, b, *_ in ments]
+
+    def in_name(s: int) -> bool:
+        return any(a <= s < b for a, b in name_spans)
+
+    for s, e, w in raw:
+        if _D_RE.match(w) and not in_name(s):
+            ments.append((s, e, s, e, "NUMBER", "NAM"))
+        elif w.lower() in _TIME_WORDS and not in_name(s):
+            ments.append((s, e, s, e, "TIME", "NAM"))
+    ments.sort(key=lambda m: m[0])
+
+    # collapse mention extents into one token; pinned POS elsewhere
+    toks: list[tuple] = []
+    i = 0
+    spans = [(m[0], m[1], m[4]) for m in ments]
+    si = 0
+    while i < len(raw):
+        s, e, w = raw[i]
+        while si < len(spans) and spans[si][1] <= s:
+            si += 1
+        if si < len(spans) and spans[si][0] <= s < spans[si][1]:
+            ms, me, mtype = spans[si]
+            parts = []
+            while i < len(raw) and raw[i][0] < me:
+                parts.append(raw[i][2])
+                i += 1
+            pos = "CD" if mtype in ("NUMBER", "MONEY") else "NNP"
+            toks.append((ms, me, "_".join(parts), pos))
+        else:
+            lw = w.lower()
+            if _D_RE.match(w):
+                pos = "CD"
+            elif not any(c.isalpha() for c in w):
+                pos = w if len(w) == 1 else "SYM"
+            else:
+                pos = _POS.get(lw, "NN")
+            toks.append((s, e, w, pos))
+            i += 1
+
+    deps: list[tuple] = []
+    for rx, pattern in _DEP_SHAPES:
+        if rx.fullmatch(text):
+            for label, si_, ti_ in pattern:
+                sw, tw = toks[si_], toks[ti_]
+                deps.append((label, sw[2], sw[0], sw[3],
+                             tw[2], tw[0], tw[3]))
+            break
+    return {"sentences": [(0, len(text))] if text else [],
+            "tokens": toks, "mentions": ments, "deps": deps}
+
+
+def template_annotations(n_turns: int):
+    """(conv_id, turn_idx, ann) per turn from the independent
+    annotator — the drop-in counterpart of oracle._serial_annotations."""
+    tr, _ = generate_transcripts(n_turns, seed=42)
+    memo: dict[str, dict] = {}
+    for cid, ti, text in zip(tr.column("conv_id").to_pylist(),
+                             tr.column("turn_idx").to_pylist(),
+                             tr.column("text").to_pylist()):
+        text = text or ""
+        ann = memo.get(text)
+        if ann is None:
+            ann = annotate_template(text)
+            memo[text] = ann
+        yield cid, ti, ann
+
+
+def gold_annotations_template(n_turns: int = 500) -> pd.DataFrame:
+    from .oracle import ann_struct_dicts, annotation_fingerprint
+    rows = []
+    for cid, ti, ann in template_annotations(n_turns):
+        sents, toks, ments, deps = ann_struct_dicts(ann)
+        rows.append({"conv_id": cid, "turn_idx": ti,
+                     "n_sentences": len(sents), "n_tokens": len(toks),
+                     "n_mentions": len(ments), "n_deps": len(deps),
+                     "ann_fp": annotation_fingerprint(sents, toks, ments,
+                                                      deps)})
+    return pd.DataFrame(rows)
+
+
+def gold_ice_terms_template(n_turns: int = 1500) -> pd.DataFrame:
+    """Term candidates over the INDEPENDENT annotations (the noun-run /
+    name-term aggregation is the oracle's Counter re-derivation; tokens,
+    POS, mentions come from the template-grammar annotator)."""
+    from .oracle import gold_ice_terms
+    return gold_ice_terms(n_turns, anns=template_annotations(n_turns))
+
+
+def gold_pmi_index_template(n_turns: int = 1500) -> pd.DataFrame:
+    from .oracle import gold_pmi_index
+    return gold_pmi_index(n_turns, anns=template_annotations(n_turns))

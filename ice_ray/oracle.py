@@ -261,10 +261,11 @@ def gold_annotations(n_turns: int = 500) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def gold_ice_terms(n_turns: int = 1500) -> pd.DataFrame:
+def gold_ice_terms(n_turns: int = 1500, anns=None) -> pd.DataFrame:
     freq: Counter = Counter()
     doc_freq: Counter = Counter()
-    for _, _, ann in _serial_annotations(n_turns):
+    for _, _, ann in (anns if anns is not None
+                      else _serial_annotations(n_turns)):
         local: Counter = Counter()
         toks = [{"start": s, "end": e, "word": w, "pos": p}
                 for s, e, w, p in ann["tokens"]]
@@ -306,10 +307,12 @@ def gold_ice_terms(n_turns: int = 1500) -> pd.DataFrame:
                          "doc_freq": [doc_freq[t] for t in freq]})
 
 
-def gold_pmi_index(n_turns: int = 1500, min_pmi: float = 0.1) -> pd.DataFrame:
+def gold_pmi_index(n_turns: int = 1500, min_pmi: float = 0.1,
+                   anns=None) -> pd.DataFrame:
     """Flat (term, ctx, pmi) cells (the comparable form of the PMI index)."""
     c: Counter = Counter()
-    for _, _, ann in _serial_annotations(n_turns):
+    for _, _, ann in (anns if anns is not None
+                      else _serial_annotations(n_turns)):
         nn_at = {t[0]: t[2] for t in ann["tokens"]
                  if t[3] in ("NN", "NNS") and len(t[2]) > 1
                  and t[2].lower() not in TERM_STOPWORDS}
@@ -954,9 +957,9 @@ SYNTH_GOLD = {
     "path_instance_counts": _template_gold("path_instance_counts"),
     "tree_counts": _template_gold("tree_counts"),
     "events_decoded": _template_gold("events_decoded"),
-    "annotations": gold_annotations,
-    "ice_terms": gold_ice_terms,
-    "pmi_index": gold_pmi_index,
+    "annotations": _template_gold("annotations"),
+    "ice_terms": _template_gold("ice_terms"),
+    "pmi_index": _template_gold("pmi_index"),
     "bootstrap_candidates": _template_gold("bootstrap_candidates"),
     "event_bootstrap_candidates": _template_gold("event_bootstrap_candidates"),
     "soft_decode": gold_soft_decode,

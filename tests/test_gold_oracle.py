@@ -104,6 +104,10 @@ def test_template_grammar_golds_match_serial_reference():
          gt.gold_bootstrap_candidates_template(), ["path"]),
         (o.gold_event_bootstrap_candidates(),
          gt.gold_event_bootstrap_candidates_template(), ["pcore"]),
+        (o.gold_annotations(), gt.gold_annotations_template(),
+         ["conv_id", "turn_idx"]),
+        (o.gold_ice_terms(), gt.gold_ice_terms_template(), ["term"]),
+        (o.gold_pmi_index(), gt.gold_pmi_index_template(), ["term", "ctx"]),
     ]
     for serial, templ, keys in pairs:
         a, b = canon(serial, keys), canon(templ, keys)[serial.columns.tolist()]
@@ -126,3 +130,21 @@ def test_template_rows_cover_every_corpus_turn_shape():
         prows, trows = template_rows(text)
         if not prows and not trows:
             assert text.startswith(rowless_markers), text
+
+
+def test_independent_annotator_matches_nlp_chain_on_corpus():
+    """The template-grammar annotator (own tokenizer, pinned POS table,
+    regex mentions, per-shape dep patterns — gold_templates.py) must
+    reproduce the NLP chain's annotations exactly on every distinct
+    corpus text."""
+    from ice_ray.gold_templates import annotate_template
+    from ice_ray.oracle import _SerialAnnotator
+    from ice_ray.sources.transcripts import generate_transcripts
+
+    tr, _ = generate_transcripts(1500, seed=42)
+    sa = _SerialAnnotator()
+    for text in sorted(set(tr.column("text").to_pylist())):
+        a, b = sa.annotate(text), annotate_template(text)
+        for k in ("sentences", "tokens", "mentions", "deps"):
+            assert [tuple(x) for x in a[k]] == [tuple(x) for x in b[k]], \
+                (k, text)
