@@ -5,13 +5,20 @@ each gets a GOLD PARQUET computed here and registered through
 ``oracle_sql()`` as ``SELECT ... FROM read_parquet('<gold>')``.  Two gold
 classes:
 
-- **template-derived** (kg_edges, soft_decode): computed from the corpus
-  GENERATOR's template instantiation — fully independent of the
-  extraction implementation (the same gold the P/R harness uses);
-- **serial-reference** (everything else): the same leaf kernels the Ray
-  stages use, wired as a single-threaded loop with NO Ray — verifying
-  that the distributed plumbing (actor pools, bucketed shuffles,
-  first-wins aggregates, joins) reproduces the serial result exactly.
+- **template-derived** (kg_edges, soft_decode, and — since round 4 —
+  path/tree counts, events_decoded, bootstrap candidates, annotations,
+  ice_terms, pmi_index via gold_templates.py): computed from the corpus
+  GENERATOR's template grammar or hand-pinned per-shape expectations —
+  fully independent of the extraction implementation (the serial
+  versions below remain as cross-checks, asserted equal in
+  tests/test_gold_oracle.py);
+- **independent-algorithm** (media/audio decode golds, minhash/CC/kNN
+  docs-keyed golds): second implementations (brute-force cosine,
+  union-find, stdlib wave + explicit DFT, bit-level simhash, …);
+- **serial-reference** (retained for cross-checking): the same leaf
+  kernels the Ray stages use, wired as a single-threaded loop with NO
+  Ray — verifying that the distributed plumbing (actor pools, bucketed
+  shuffles, first-wins aggregates, joins) reproduces the serial result.
 
 Gold files live under ``tests/gold/`` keyed by input: ``synth/`` for the
 fixed synthetic-corpus queries and ``docs<N>/`` / ``events<N>`` /
