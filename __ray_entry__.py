@@ -678,6 +678,22 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_doc_dedup_keep(sf_dir: str):
+    """The ACTION step of near-dup dedup: the kept doc ids (cluster
+    heads + singletons) after MinHash+LSH clustering."""
+    import ray.data
+
+    from ice_ray.stages.dedup import (
+        dedup_apply,
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+    docs = _docs(sf_dir)
+    clusters = ray.data.from_pandas(
+        neardup_clusters(minhash_neardup_pairs(docs, threshold=0.5)))
+    return dedup_apply(docs.select_columns(["doc_id"]), clusters)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Contiguous sequence packing into 2048-token budgets via a
     distributed two-phase prefix sum (stages/packing.py)."""
@@ -797,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_ngrams": _q_cross_doc_ngrams,
         "pack_sequences": _q_pack_sequences,
         "token_percentiles": _q_token_percentiles,
+        "doc_dedup_keep": _q_doc_dedup_keep,
     }
 
 
@@ -1005,6 +1022,12 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY d.lang
                        ORDER BY q.quality DESC, q.doc_id) AS rn
               FROM q JOIN d USING (doc_id)) WHERE rn <= 3
+        """,
+        "doc_dedup_keep": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM ({_gold_keyed("neardup_clusters", "docs")})
+              WHERE cluster != doc_id)
         """,
         "pack_sequences": f"""
             WITH t AS (SELECT doc_id, len({_TOK})::BIGINT AS n_tokens

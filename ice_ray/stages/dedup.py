@@ -858,3 +858,45 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
         })
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_apply(docs, clusters, id_col: str = "doc_id",
+                broadcast_max_rows: int = 50_000_000,
+                broadcast_max_bytes: int = 512 << 20):
+    """The ACTION step of near-dup dedup: drop every cluster member
+    except its head (cluster label == id), keep all un-clustered docs.
+    The loser set is duplicate-bounded (strictly smaller than the dup
+    surface), so the default path broadcasts it as a worker-built
+    frozenset (row- AND byte-gated); above the caps it falls back to a
+    bucketed anti-join (left join + null filter)."""
+    import pyarrow.compute as pc
+
+    losers = (clusters.filter(expr=f"cluster != {id_col}")
+              .select_columns([id_col]).materialize())
+    n = losers.count()
+    if n == 0:
+        return docs
+    if (n <= broadcast_max_rows
+            and (losers.size_bytes() or 0) <= broadcast_max_bytes):
+        ref = _worker_side(_build_frozenset, losers, id_col)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            drop = _cached_get(ref)
+            ids = batch.column(id_col).to_pylist()
+            return batch.filter(pa.array([i not in drop for i in ids]))
+
+        return docs.map_batches(keep, batch_format="pyarrow")
+
+    from ..functions.join import bucketed_hash_join
+
+    marked = losers.map_batches(
+        lambda t: t.append_column("_drop", pa.array([True] * t.num_rows)),
+        batch_format="pyarrow")
+    joined = bucketed_hash_join(docs, marked, left_on=id_col,
+                                right_on=id_col, how="left")
+
+    def keep_unmarked(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.is_null(t.column("_drop")))
+                .drop_columns(["_drop"]))
+
+    return joined.map_batches(keep_unmarked, batch_format="pyarrow")

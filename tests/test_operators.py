@@ -408,3 +408,45 @@ def test_exact_percentiles_matches_numpy_rule(ray_session):
         # pinned rule: min value whose cumulative count >= ceil(p*n)
         want = int(sv[int(np.ceil(p * len(sv))) - 1])
         assert int(got[col].iloc[0]) == want, (col, got)
+
+
+def test_pack_sequences_edge_cases(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.packing import pack_sequences
+
+    # single row
+    one = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["alpha beta gamma"])}))
+    df = pack_sequences(one, budget=2).to_pandas()
+    assert df.to_dict("records") == [
+        {"doc_id": 7, "n_tokens": 3, "seq_id": 0}]
+    # doc bigger than the budget still gets a sequence; the NEXT doc
+    # starts a fresh one (exclusive-prefix semantics)
+    two = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b c d e", "x y"])}))
+    df = pack_sequences(two, budget=3).to_pandas().sort_values("doc_id")
+    assert df["seq_id"].tolist() == [0, 1]
+
+
+def test_dedup_apply_paths_equal(ray_session):
+    """dedup_apply broadcast and anti-join paths keep exactly the
+    cluster heads + singletons."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.dedup import dedup_apply
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d", "e"])}))
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 4], pa.int64()),
+        "cluster": pa.array([1, 1, 4], pa.int64())}))  # 2 is a loser
+    for kw in ({}, {"broadcast_max_rows": 0}):
+        kept = sorted(dedup_apply(docs, clusters, **kw)
+                      .to_pandas()["doc_id"].tolist())
+        assert kept == [1, 3, 4, 5], kw
