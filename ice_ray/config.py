@@ -82,6 +82,14 @@ class PipelineConfig:
     link_strategy: str = "broadcast"       # "broadcast" (registry fits memory) | "shuffle" (10^12-turn safe)
     fuse_decode: bool = True               # flagship: one annotate+extract+tag actor pool (path rows
                                            # never hit the object store); False = split pools (cached layout)
+    extract_strategy: str = "direct"       # "direct": zero-shuffle in-place extraction (per-actor memo;
+                                           # wins at single-node pool sizes). "dedup": annotate each
+                                           # DISTINCT text once then broadcast-or-join the rows back —
+                                           # the multi-node strategy: per-actor memos annotate a text
+                                           # appearing k times ~min(k, pool) times, so their benefit
+                                           # vanishes as the pool grows (see pipelines/kg.extract_edges)
+    dedup_rows_broadcast_max: int = 5_000_000    # distinct-text edge rows above this (or the byte cap)
+    dedup_rows_broadcast_max_bytes: int = 512 << 20  # map back via bucketed join, not broadcast
     dirty_broadcast_max: int = 200_000     # refresh: dirty-key sets above this re-extract the whole group
                                            # instead of broadcasting an unbounded key set
     extract_cache_max: int = 100_000       # distinct-text memo entries per annotator actor (0 = off)

@@ -103,6 +103,152 @@ def extract_decode_edges(transcripts: "ray.data.Dataset",
     )
 
 
+_ROWS_MAP_CACHE: dict = {}
+
+_EDGE_COLS = ["subj", "pred", "obj", "subj_type", "obj_type"]
+
+
+def _build_rows_pdf(*tables):
+    """Worker-side broadcast frame (text + edge columns) from the
+    distinct-text extraction blocks — built in a Ray task, never on the
+    driver.  The emit scan joins against it per batch."""
+    import pandas as pd
+    parts = [t.rename_columns(
+                ["text" if c == "conv_id" else c for c in t.column_names])
+             .select(["text"] + _EDGE_COLS).to_pandas()
+             for t in tables if "conv_id" in t.column_names]
+    return (pd.concat(parts, ignore_index=True) if parts
+            else pd.DataFrame(columns=["text"] + _EDGE_COLS))
+
+
+def _tkey(text: str) -> str:
+    import hashlib
+    return hashlib.md5((text or "").encode()).hexdigest()
+
+
+def extract_edges(transcripts: "ray.data.Dataset",
+                  rules: dict[str, str] | None = None,
+                  cfg: PipelineConfig | None = None,
+                  **kwargs) -> "ray.data.Dataset":
+    """Strategy dispatcher for the expensive extraction phase.
+
+    ``"direct"`` (default): zero-shuffle layout — extraction actors scan
+    the turns in place, each with a per-actor distinct-text memo.
+
+    ``"dedup"``: annotate each DISTINCT text exactly once.  Shape:
+    per-batch distinct text → bucketed distinct exchange (moves each
+    distinct text once) → extraction actor pool over DISTINCT texts →
+    worker-built (text → edge rows) broadcast frame (row+byte gated)
+    joined back per batch with a vectorized pandas merge.  Above the
+    gate the rows map back via a bucketed hash join on md5(text) (slim
+    keys — the raw text never re-shuffles).
+
+    Crossover (measured at 1M turns, ~87.6k distinct texts, 32 cpus,
+    BASELINE.md round 4): the per-actor memo annotates a text appearing
+    k times ≈ min(k, pool) times, so DIRECT does ~487k annotations
+    (~440 core-s) where DEDUP does 87.6k (~227 core-s) — but dedup pays
+    a distinct exchange + map-back (~190 core-s), so at 32 actors the
+    two tie and direct's simpler plan wins.  The ratio
+    annotations(direct)/annotations(dedup) → corpus/distinct (11× here)
+    as the pool grows: on a multi-node cluster (hundreds of actors)
+    per-actor memos stop deduplicating anything and ``"dedup"`` is the
+    right strategy; single-node defaults keep ``"direct"``.
+    """
+    cfg = cfg or PipelineConfig()
+
+    def direct(ds):
+        if cfg.fuse_decode:
+            return extract_decode_edges(ds, rules, cfg, **kwargs)
+        return decode_edges(extract_paths(ds, cfg, emit_repr=False,
+                                          emit_person_mentions=True),
+                            rules, cfg)
+
+    if cfg.extract_strategy != "dedup":
+        return direct(transcripts)
+
+    from ..functions.shuffle import grouped_aggregate
+
+    def distinct_texts(batch: pa.Table) -> pa.Table:
+        # per-batch distinct first: hot texts (tool JSON, boilerplate)
+        # collapse map-side before the exchange
+        import pyarrow.compute as pc
+        t = batch.column("text").combine_chunks()
+        t = pc.fill_null(t, "")
+        return pa.table({"text": pc.unique(t)})
+
+    distinct = grouped_aggregate(
+        transcripts.map_batches(distinct_texts, batch_format="pyarrow"),
+        keys=["text"], specs=[("text", "count")]).drop_columns(["text_count"])
+
+    def as_turns(batch: pa.Table) -> pa.Table:
+        # the extraction stage's (conv_id, turn_idx, text) contract: the
+        # text itself rides the conv_id column so the emitted rows come
+        # back keyed by their text
+        return pa.table({"conv_id": batch.column("text"),
+                         "turn_idx": pa.array([0] * batch.num_rows,
+                                              pa.int32()),
+                         "text": batch.column("text")})
+
+    # one extraction per DISTINCT text
+    rows = direct(distinct.map_batches(as_turns,
+                                       batch_format="pyarrow")).materialize()
+
+    if (rows.count() <= cfg.dedup_rows_broadcast_max
+            and (rows.size_bytes() or 0)
+            <= cfg.dedup_rows_broadcast_max_bytes):
+        map_ref = ray.remote(_build_rows_pdf).remote(*rows.to_arrow_refs())
+        key = map_ref.hex()
+
+        def emit(batch: pa.Table) -> pa.Table:
+            # vectorized map-back: one pandas hash join per batch against
+            # the broadcast rows frame (keyed by the text itself — no
+            # per-row hashing or Python row loop on the hot scan)
+            import pandas as pd
+            rpdf = _ROWS_MAP_CACHE.get(key)
+            if rpdf is None:
+                if len(_ROWS_MAP_CACHE) > 2:
+                    _ROWS_MAP_CACHE.clear()
+                rpdf = _ROWS_MAP_CACHE[key] = ray.get(map_ref)
+            left = pd.DataFrame({
+                "conv_id": batch.column("conv_id").to_pandas(),
+                "turn_idx": batch.column("turn_idx").to_pandas(),
+                "text": batch.column("text").to_pandas().fillna(""),
+            })
+            out = left.merge(rpdf, on="text", how="inner")
+            return pa.table({
+                **{c: pa.array(out[c], pa.string()) for c in _EDGE_COLS},
+                "conv_id": pa.array(out["conv_id"], pa.string()),
+                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            })
+
+        return transcripts.map_batches(emit, batch_format="pyarrow")
+
+    # scale path: rows map back via a bucketed hash join on md5(text) —
+    # only slim (conv, turn, tkey) rows and the edge rows cross the
+    # exchange, never the raw text
+    from ..functions.join import bucketed_hash_join
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = [_tkey(x) for x in t.column("conv_id").to_pylist()]
+        return (t.drop_columns(["conv_id", "turn_idx"])
+                 .append_column("_tkey", pa.array(keys, pa.string())))
+
+    keyed_rows = rows.map_batches(keyed, batch_format="pyarrow")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keys = [_tkey(t or "")
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"conv_id": batch.column("conv_id"),
+                         "turn_idx": batch.column("turn_idx"),
+                         "_tkey": pa.array(keys, pa.string())})
+
+    turns_slim = transcripts.map_batches(slim, batch_format="pyarrow")
+    joined = bucketed_hash_join(turns_slim, keyed_rows,
+                                left_on="_tkey", right_on="_tkey",
+                                how="inner")
+    return joined.drop_columns(["_tkey"])
+
+
 def decode_edges(paths: "ray.data.Dataset", rules: dict[str, str] | None = None,
                  cfg: PipelineConfig | None = None,
                  neg_rules: dict[str, str] | None = None,
@@ -299,13 +445,10 @@ def build_kg(transcripts: "ray.data.Dataset",
     """transcripts → deduplicated canonical edge dataset (lazy)."""
     cfg = cfg or PipelineConfig()
     # the decode path needs no repr/example — skip the linearizer;
-    # person mentions of path-less turns ride along for coref
-    if cfg.fuse_decode:
-        edges = extract_decode_edges(transcripts, rules, cfg)
-    else:
-        paths = extract_paths(transcripts, cfg, emit_repr=False,
-                              emit_person_mentions=True)
-        edges = decode_edges(paths, rules, cfg)
+    # person mentions of path-less turns ride along for coref.
+    # extract_edges dispatches on cfg.extract_strategy (distinct-text
+    # dedup extraction by default — see its docstring)
+    edges = extract_edges(transcripts, rules, cfg)
     edges = canonicalize_edges(edges, strategy=cfg.link_strategy)
     return dedup_edges(edges)
 
@@ -401,12 +544,7 @@ def run_kg_job(input_files: list[str], out_dir: str,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
                                    override_num_blocks=max(len(files), ncpu * 4))
-        if cfg.fuse_decode:
-            edges = extract_decode_edges(ds, rules, cfg)
-        else:
-            edges = decode_edges(extract_paths(ds, cfg, emit_repr=False,
-                                               emit_person_mentions=True),
-                                 rules, cfg)
+        edges = extract_edges(ds, rules, cfg)
         gdir = os.path.join(out_dir, "raw_edges", gid)
         edges.write_parquet(gdir, mode="overwrite")
         n = ray.data.read_parquet(gdir).count()

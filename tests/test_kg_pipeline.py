@@ -70,3 +70,28 @@ def test_resume_skips_completed_groups(ray_session, tmp_path):
     s2 = run_kg_job(files, out, group_size=2, resume=True)
     assert s2["groups_skipped"] == s2["groups"]
     assert s2["triples"] == s1["triples"]
+
+
+def test_extract_strategies_equal(corpus):
+    """direct, dedup(broadcast) and dedup(join) extraction strategies
+    produce identical raw edges (pipelines/kg.extract_edges)."""
+    import pandas as pd
+
+    from ice_ray.config import PipelineConfig
+    from ice_ray.pipelines.kg import extract_edges
+
+    ds, _ = corpus
+
+    def canon(d):
+        df = d.to_pandas()
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    a = canon(extract_edges(ds, cfg=PipelineConfig(extract_strategy="direct")))
+    b = canon(extract_edges(ds, cfg=PipelineConfig(extract_strategy="dedup")))
+    c = canon(extract_edges(ds, cfg=PipelineConfig(
+        extract_strategy="dedup", dedup_rows_broadcast_max=0)))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
