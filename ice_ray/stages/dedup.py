@@ -878,12 +878,24 @@ def dedup_apply(docs, clusters, id_col: str = "doc_id",
         return docs
     if (n <= broadcast_max_rows
             and (losers.size_bytes() or 0) <= broadcast_max_bytes):
-        ref = _worker_side(_build_frozenset, losers, id_col)
+        def build_sorted(col, *tables):
+            arrs = [t.column(col).to_numpy(zero_copy_only=False)
+                    for t in tables if col in t.column_names]
+            return np.sort(np.concatenate(arrs)) if arrs \
+                else np.empty(0, np.int64)
+
+        ref = _worker_side(build_sorted, losers, id_col)
 
         def keep(batch: pa.Table) -> pa.Table:
+            # vectorized membership: sorted-array searchsorted probe, no
+            # per-row Python set lookups on the full-corpus scan
             drop = _cached_get(ref)
-            ids = batch.column(id_col).to_pylist()
-            return batch.filter(pa.array([i not in drop for i in ids]))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(drop, ids)
+            pos = np.minimum(pos, max(len(drop) - 1, 0))
+            hit = (drop[pos] == ids) if len(drop) else \
+                np.zeros(len(ids), bool)
+            return batch.filter(pa.array(~hit))
 
         return docs.map_batches(keep, batch_format="pyarrow")
 
