@@ -68,7 +68,8 @@ def _query_timings() -> dict[str, float]:
     picks = ["term_counts", "doc_dedup_exact", "minhash_neardup",
              "knn_cosine", "events_hourly", "sessions", "term_pmi",
              "events_last_order", "doc_repetition", "decontaminate",
-             "pii_scrub", "cross_doc_ngrams"]
+             "pii_scrub", "cross_doc_ngrams", "pack_sequences",
+             "token_percentiles", "doc_dedup_keep"]
     qs = em.queries()
     for name in picks:
         t0 = time.time()
