@@ -75,3 +75,29 @@ def test_kg_pr_at_scale(ray_session):
                        gold["obj"].to_pylist()))
     prf = triple_prf(system, gold_set)
     assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95, prf
+
+
+def test_extract_strategies_on_empty_and_rowless_input(ray_session):
+    """extract_edges (both strategies) on an empty transcripts table and
+    on a table whose every turn yields no edges."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.config import PipelineConfig
+    from ice_ray.pipelines.kg import extract_edges
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string())})
+    rowless = pa.table({
+        "conv_id": pa.array(["c0", "c0"], pa.string()),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "text": pa.array(["Thanks for the update.", ""], pa.string())})
+    for tbl in (empty, rowless):
+        for strat in ("direct", "dedup"):
+            out = extract_edges(ray.data.from_arrow(tbl),
+                                cfg=PipelineConfig(extract_strategy=strat))
+            assert out.count() == 0, (strat, tbl.num_rows)
