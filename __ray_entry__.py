@@ -678,6 +678,17 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_lm_score(sf_dir: str):
+    """Unigram LM quality score (CCNet-style perplexity filter, add-one
+    smoothing; stages/textstats.lm_score)."""
+    import ray.data
+
+    from ice_ray.stages.textstats import lm_score
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return lm_score(docs)
+
+
 def _q_doc_dedup_keep(sf_dir: str):
     """The ACTION step of near-dup dedup: the kept doc ids (cluster
     heads + singletons) after MinHash+LSH clustering."""
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "token_percentiles": _q_token_percentiles,
         "doc_dedup_keep": _q_doc_dedup_keep,
+        "lm_score": _q_lm_score,
     }
 
 
@@ -1022,6 +1034,17 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY d.lang
                        ORDER BY q.quality DESC, q.doc_id) AS rn
               FROM q JOIN d USING (doc_id)) WHERE rn <= 3
+        """,
+        "lm_score": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term
+                          FROM documents),
+            c AS (SELECT term, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+            s AS (SELECT (SELECT SUM(n) FROM c) AS N,
+                         (SELECT COUNT(*) FROM c) AS V)
+            SELECT t.doc_id,
+                   round(AVG(ln((c.n + 1) / (s.N + s.V))), 6) AS lm_score
+            FROM toks t JOIN c USING (term) CROSS JOIN s
+            GROUP BY t.doc_id
         """,
         "doc_dedup_keep": f"""
             SELECT doc_id FROM documents

@@ -290,3 +290,108 @@ def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "scrubbed": col,
         "n_redactions": pa.array(total, pa.int64()),
     })
+
+
+def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+             strategy: str = "broadcast",
+             vocab_broadcast_max: int = 20_000_000,
+             vocab_broadcast_max_bytes: int = 512 << 20):
+    """Unigram LM quality score — the CCNet-style perplexity filter in
+    its simplest deterministic form: per document, the mean (over token
+    occurrences) of ``ln((c(t)+1) / (N+V))`` where ``c`` are corpus-wide
+    token counts, ``N`` total tokens, ``V`` vocabulary size (add-one
+    smoothing).  Low scores flag gibberish / far-out-of-distribution
+    docs; the self-scored corpus has no OOV tokens by construction.
+
+    Two-pass shape: one bucketed aggregate for the counts, then either a
+    broadcast log-prob table probed per batch (default; vocabulary
+    row+byte gated) or, above the gate, a bucketed hash join of the
+    (doc, term, tf) rows with the count table followed by a weighted
+    per-doc aggregate (``strategy="join"`` — the open-web vocabulary
+    path).  Token-less docs are excluded (mirrors the SQL GROUP BY).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.shuffle import grouped_aggregate
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            c.update(_WORD_RE.findall((text or "").lower()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    counts = grouped_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        keys=["term"], specs=[("n", "sum")], rename={"n_sum": "n"}
+    ).materialize()
+    v = counts.count()
+    n_total = int(counts.sum("n") or 0)
+    denom = float(n_total + v)
+
+    if (strategy == "broadcast" and v <= vocab_broadcast_max
+            and (counts.size_bytes() or 0) <= vocab_broadcast_max_bytes):
+        from .dedup import _build_dict, _cached_get, _worker_side
+
+        ref = _worker_side(_build_dict, counts, "term", "n")
+
+        def score(batch: pa.Table) -> pa.Table:
+            cmap = _cached_get(ref)
+            ids, scores = [], []
+            for did, text in zip(batch.column(id_col).to_pylist(),
+                                 batch.column(text_col).to_pylist()):
+                toks = _WORD_RE.findall((text or "").lower())
+                if not toks:
+                    continue
+                local: Counter = Counter(toks)
+                s = sum(tf * math.log((cmap[t] + 1) / denom)
+                        for t, tf in local.items())
+                ids.append(did)
+                scores.append(round(s / len(toks), 6))
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "lm_score": pa.array(scores, pa.float64())})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # vocabulary-scale path: (doc, term, tf) rows join the counts
+    from ..functions.join import bucketed_hash_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            for t, tf in Counter(
+                    _WORD_RE.findall((text or "").lower())).items():
+                ids.append(did)
+                terms.append(t)
+                tfs.append(tf)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    joined = bucketed_hash_join(
+        ds.map_batches(tf_rows, batch_format="pyarrow"), counts,
+        left_on="term", right_on="term")
+
+    def weighted(batch: pa.Table) -> pa.Table:
+        tf = pc.cast(batch.column("tf"), pa.float64())
+        lp = pc.ln(pc.divide(
+            pc.cast(pc.add(batch.column("n"), 1), pa.float64()), denom))
+        return pa.table({id_col: batch.column(id_col),
+                         "_w": pc.multiply(tf, lp), "_n": batch.column("tf")})
+
+    agg = grouped_aggregate(
+        joined.map_batches(weighted, batch_format="pyarrow"),
+        keys=[id_col], specs=[("_w", "sum"), ("_n", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = pc.round(pc.divide(batch.column("_w_sum"),
+                               pc.cast(batch.column("_n_sum"),
+                                       pa.float64())), 6)
+        return pa.table({id_col: batch.column(id_col), "lm_score": s})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -450,3 +450,33 @@ def test_dedup_apply_paths_equal(ray_session):
         kept = sorted(dedup_apply(docs, clusters, **kw)
                       .to_pandas()["doc_id"].tolist())
         assert kept == [1, 3, 4, 5], kw
+
+
+def test_lm_score_strategies_and_gate(ray_session):
+    """lm_score broadcast and join paths agree; the vocab gate falls to
+    the join path; gibberish scores below in-distribution text."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.textstats import lm_score
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the plan and the budget were discussed",
+            "the budget and the plan",
+            "zxqv qqq zxqv",        # gibberish: rare tokens
+            ""])}))                 # token-less: excluded
+
+    def run(**kw):
+        return (lm_score(docs, **kw).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    a = run()
+    b = run(strategy="join")
+    c = run(vocab_broadcast_max=0)  # gate overflow → join path
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+    assert a["doc_id"].tolist() == [1, 2, 3]
+    s = dict(zip(a.doc_id, a.lm_score))
+    assert s[3] < s[1] and s[3] < s[2]
