@@ -678,6 +678,19 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_curate_keep(sf_dir: str):
+    """Flagship corpus-curation pipeline: quality filter → benchmark
+    decontamination → corpus-scoped near-dup removal → sequence packing
+    (pipelines/curate.py) — every stage is an already-oracled operator,
+    and the composition is checked against a composed SQL oracle."""
+    import ray.data
+
+    from ice_ray.pipelines.curate import curate_corpus
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return curate_corpus(docs)
+
+
 def _q_lm_score(sf_dir: str):
     """Unigram LM quality score (CCNet-style perplexity filter, add-one
     smoothing; stages/textstats.lm_score)."""
@@ -826,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_percentiles": _q_token_percentiles,
         "doc_dedup_keep": _q_doc_dedup_keep,
         "lm_score": _q_lm_score,
+        "curate_keep": _q_curate_keep,
     }
 
 
@@ -1034,6 +1048,41 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY d.lang
                        ORDER BY q.quality DESC, q.doc_id) AS rn
               FROM q JOIN d USING (doc_id)) WHERE rn <= 3
+        """,
+        "curate_keep": f"""
+            WITH q AS ({_gold_keyed("quality", "docs")}),
+            words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS g
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(w) - 7, 0))) AS i) t),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+            contaminated AS (
+              SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)
+              WHERE grams.doc_id % 50 <> 0),
+            losers AS (
+              SELECT doc_id
+              FROM ({_gold_keyed("neardup_clusters", "docs")})
+              WHERE cluster != doc_id),
+            kept AS (
+              SELECT d.doc_id,
+                     len({_TOK})::BIGINT AS n_tokens
+              FROM documents d JOIN q USING (doc_id)
+              WHERE q.quality >= 0.6 AND d.doc_id % 50 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                AND d.doc_id NOT IN (SELECT doc_id FROM losers)),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                  FROM kept)
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id
+            FROM c
         """,
         "lm_score": f"""
             WITH toks AS (SELECT doc_id, unnest({_TOK}) AS term

@@ -480,3 +480,29 @@ def test_lm_score_strategies_and_gate(ray_session):
     assert a["doc_id"].tolist() == [1, 2, 3]
     s = dict(zip(a.doc_id, a.lm_score))
     assert s[3] < s[1] and s[3] < s[2]
+
+
+def test_curate_corpus_write_and_manifest(ray_session, tmp_path):
+    """curate_corpus(out_dir=...) writes seq_block-partitioned parquet +
+    a manifest and returns the same rows as the in-memory form."""
+    import glob
+    import json
+    import os
+
+    import ray.data
+    from ice_ray.pipelines.curate import curate_corpus
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"])
+    out = str(tmp_path / "curated")
+    packed = (curate_corpus(docs, out_dir=out).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    mem = (curate_corpus(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(packed, mem)
+    files = glob.glob(os.path.join(out, "packed", "seq_block=*",
+                                   "*.parquet"))
+    assert files
+    man = json.load(open(os.path.join(out, "curate_manifest.json")))
+    assert man["docs_kept"] == len(mem) and man["budget"] == 2048
