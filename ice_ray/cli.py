@@ -82,6 +82,14 @@ def main(argv: list[str] | None = None) -> int:
                     help='value-stripped tree signature, e.g. '
                          '"discuss nsubj:OTHER dobj:OTHER"')
 
+    sp = sub.add_parser("curate")
+    sp.add_argument("--input", required=True,
+                    help="documents parquet dir/file (doc_id, text)")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--quality-min", type=float, default=0.6)
+    sp.add_argument("--budget", type=int, default=2048)
+    sp.add_argument("--bench-mod", type=int, default=50)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen-corpus":
@@ -157,6 +165,15 @@ def main(argv: list[str] | None = None) -> int:
             stats = run_kg_job(files, args.out, group_size=args.group_size,
                                resume=not args.no_resume)
             print(json.dumps(stats))
+        elif args.cmd == "curate":
+            from ice_ray.pipelines.curate import curate_corpus
+            docs = ray.data.read_parquet(args.input,
+                                         columns=["doc_id", "text"])
+            packed = curate_corpus(docs, quality_min=args.quality_min,
+                                   bench_mod=args.bench_mod,
+                                   budget=args.budget, out_dir=args.out)
+            n = packed.count()
+            print(json.dumps({"docs_kept": int(n), "out": args.out}))
         elif args.cmd == "refresh":
             from ice_ray.pipelines.kg import refresh_kg_job
             files = sorted(
