@@ -69,7 +69,8 @@ def _query_timings() -> dict[str, float]:
              "knn_cosine", "events_hourly", "sessions", "term_pmi",
              "events_last_order", "doc_repetition", "decontaminate",
              "pii_scrub", "cross_doc_ngrams", "pack_sequences",
-             "token_percentiles", "doc_dedup_keep"]
+             "token_percentiles", "doc_dedup_keep", "lm_score",
+             "curate_keep"]
     qs = em.queries()
     for name in picks:
         t0 = time.time()

@@ -418,11 +418,12 @@ def gold_event_bootstrap_candidates(
 
 
 def media_fixture_rows() -> list[dict]:
-    """Deterministic inline media table for the multimodal query: five
+    """Deterministic inline media table for the multimodal query: six
     decodable images (PPM + BMP + real PNG + real GIF + real baseline
-    JPEG with 4:2:0 subsampling and restart markers), one near-dup, one
-    malformed-compressed stub."""
-    from .stages.jpeg import encode_jpeg
+    JPEG with 4:2:0 subsampling and restart markers + real PROGRESSIVE
+    JPEG with spectral selection / successive approximation), one
+    near-dup, one malformed-compressed stub."""
+    from .stages.jpeg import encode_jpeg, encode_jpeg_progressive
     from .stages.multimodal import (
         encode_bmp,
         encode_gif,
@@ -461,6 +462,12 @@ def media_fixture_rows() -> list[dict]:
         {"media_id": 6, "kind": "image",
          "payload": encode_jpeg(gradient(48, 32), quality=90,
                                 subsampling=(2, 2), restart_interval=2),
+         "mime": "image/jpeg", "width": 48, "height": 32, "duration_ms": -1},
+        # progressive (SOF2) re-encode of the SAME pixels as media_id 6 —
+        # must decode identically and cluster with it in cross-format dedup
+        {"media_id": 7, "kind": "image",
+         "payload": encode_jpeg_progressive(gradient(48, 32), quality=90,
+                                            subsampling=(2, 2)),
          "mime": "image/jpeg", "width": 48, "height": 32, "duration_ms": -1},
     ]
 
@@ -557,6 +564,13 @@ def media_dedup_fixture_rows() -> list[dict]:
         if i % 3 == 0:
             rows.append({"media_id": i * 10 + 3, "kind": "image",
                          "payload": encode_gif(img), "mime": "image/gif",
+                         "width": 40, "height": 30, "duration_ms": -1})
+        if i % 5 == 0:
+            # PROGRESSIVE JPEG sibling — must land in the same dup family
+            from .stages.jpeg import encode_jpeg_progressive
+            rows.append({"media_id": i * 10 + 4, "kind": "image",
+                         "payload": encode_jpeg_progressive(img, quality=92),
+                         "mime": "image/jpeg",
                          "width": 40, "height": 30, "duration_ms": -1})
     return rows
 

@@ -1,12 +1,16 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT, SOF0/SOF1) decode — and a
-fixture encoder — in pure python + numpy.  No PIL/libjpeg.
+"""JPEG (ITU-T T.81) decode — baseline sequential (SOF0/SOF1) AND
+progressive (SOF2, Annex G spectral selection + successive
+approximation) — plus fixture encoders for both, in pure python +
+numpy.  No PIL/libjpeg.
 
 Decoder supports: 8-bit samples, 1 or 3 components, any integer
 subsampling ratio (4:4:4 / 4:2:2 / 4:2:0 ...), multiple DQT/DHT
-segments, restart markers (DRI/RSTn), APPn/COM skip.  Progressive
-(SOF2), arithmetic coding, 12-bit and hierarchical modes return None —
-``decode_jpeg``'s contract (like the other codecs in multimodal.py) is
-"RGB array or None", never an exception on malformed input.
+segments (incl. between progressive scans), restart markers
+(DRI/RSTn), DC/AC first + refinement scans with EOB runs and
+correction bits, APPn/COM skip.  Arithmetic coding, 12-bit and
+hierarchical modes return None — ``decode_jpeg``'s contract (like the
+other codecs in multimodal.py) is "RGB array or None", never an
+exception on malformed input.
 
 The encoder exists so tests can prove the decoder on spec-valid streams
 this repo generated end-to-end (forward DCT → quantize → zigzag →
@@ -117,9 +121,10 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _entropy_segments(buf: bytes, start: int) -> list[bytes]:
+def _entropy_segments_end(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from ``start``: destuff FF00, split on RSTn,
-    stop at any other marker."""
+    stop at any other marker.  Also returns the offset of that marker
+    (progressive streams parse further scans after it)."""
     segs, cur, i, n = [], bytearray(), start, len(buf)
     while i < n:
         b = buf[i]
@@ -140,7 +145,11 @@ def _entropy_segments(buf: bytes, start: int) -> list[bytes]:
         else:                            # EOI / next real marker
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
+
+
+def _entropy_segments(buf: bytes, start: int) -> list[bytes]:
+    return _entropy_segments_end(buf, start)[0]
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray | None:
@@ -197,9 +206,19 @@ def _decode_jpeg(buf: bytes) -> np.ndarray | None:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:        # SOF2 progressive huffman
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            return _decode_progressive(buf, i + 2 + ln, (h, w, comps),
+                                       qt, huff, restart)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None             # progressive / arithmetic / lossless
+            return None             # arithmetic / lossless / hierarchical
         elif marker == 0xC4:        # DHT
             p = 0
             while p < len(seg):
@@ -309,6 +328,239 @@ def _decode_scan(buf, start, frame, scomps, qt, huff, restart):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+# ------------------------------------------------ progressive decoder
+# Spectral selection + successive approximation per ITU-T T.81 Annex G
+# (G.1.2.2 Huffman DC/AC first scans, G.1.2.3 refinement scans with EOB
+# runs and correction bits).  Coefficients accumulate across scans in
+# per-component quantized-integer grids; dequantize + IDCT at EOI.
+
+def _decode_progressive(buf, pos, frame, qt, huff, restart):
+    H, W, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    mcx = -(-W // (8 * hmax))
+    mcy = -(-H // (8 * vmax))
+    # MCU-padded coefficient grids (AC scans cover the non-padded
+    # top-left sub-grid; padding blocks stay zero and are cropped)
+    grids = {cid: np.zeros((mcy * v, mcx * h, 64), np.int32)
+             for cid, h, v, _ in comps}
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    i, n = pos, len(buf)
+    while i + 2 <= n:
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker == 0xD9:          # EOI — assemble the image
+            return _finish_progressive(frame, grids, qt, hmax, vmax)
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            i += 2
+            continue
+        if i + 4 > n:
+            return None
+        (ln,) = struct.unpack_from(">H", buf, i + 2)
+        seg = buf[i + 4:i + 2 + ln]
+        if marker == 0xC4:          # DHT between scans
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                nv = sum(counts)
+                vals = seg[p + 17:p + 17 + nv]
+                if len(vals) < nv:
+                    return None
+                huff[(tc, th)] = _Huff(counts, vals)
+                p += 17 + nv
+        elif marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq2 = seg[p] >> 4, seg[p] & 15
+                p += 1
+                raw = (np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int32)
+                       if pq == 0 else
+                       np.frombuffer(seg[p:p + 128], ">u2").astype(np.int32))
+                p += 64 if pq == 0 else 128
+                t = np.zeros(64, np.int32)
+                t[ZIGZAG] = raw
+                qt[tq2] = t
+        elif marker == 0xDD:
+            (restart,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:        # one progressive scan
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cs, tda = seg[1 + 2 * c:3 + 2 * c]
+                scomps.append((cs, tda >> 4, tda & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            end = _decode_prog_scan(buf, i + 2 + ln, frame, scomps,
+                                    ss, se, ah, al, grids, by_id,
+                                    huff, restart, mcx, mcy, hmax, vmax)
+            if end is None:
+                return None
+            i = end
+            continue
+        i += 2 + ln
+    return None
+
+
+def _decode_prog_scan(buf, start, frame, scomps, ss, se, ah, al,
+                      grids, by_id, huff, restart, mcx, mcy, hmax, vmax):
+    """Decode ONE progressive scan into the coefficient grids; returns
+    the buffer offset of the marker that ends the scan."""
+    H, W, _ = frame
+    segments, end = _entropy_segments_end(buf, start)
+    reader = _BitReader(segments[0])
+    seg_i = 0
+    state = {"eobrun": 0}
+
+    def next_segment():
+        nonlocal reader, seg_i
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ValueError("missing restart segment")
+        reader = _BitReader(segments[seg_i])
+        state["eobrun"] = 0
+
+    if ss == 0:                      # DC scan (interleaved or single)
+        if se != 0:
+            return None
+        order = [(cs, td, by_id[cs]) for cs, td, _ in scomps]
+        preds = {cs: 0 for cs, _, _ in order}
+        mcu_count = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    next_segment()
+                    for cs in preds:
+                        preds[cs] = 0
+                for cs, td, (h, v, _) in order:
+                    g = grids[cs]
+                    for byy in range(v):
+                        for bxx in range(h):
+                            r, c = my * v + byy, mx * h + bxx
+                            if ah == 0:
+                                s = reader.huffman(huff[(0, td)])
+                                diff = _extend(reader.receive(s), s) \
+                                    if s else 0
+                                preds[cs] += diff
+                                g[r, c, 0] = preds[cs] << al
+                            else:    # DC refinement: one bit per block
+                                if reader.bit():
+                                    g[r, c, 0] |= 1 << al
+                mcu_count += 1
+        return end
+
+    # AC scan: single component, raster order over the COMPONENT's
+    # (non-padded) block grid
+    if len(scomps) != 1:
+        return None
+    cs, _, ta = scomps[0]
+    h, v, _ = by_id[cs]
+    g = grids[cs]
+    cw = -(-(W * h) // hmax)        # component sample dims (A.1.1)
+    ch = -(-(H * v) // vmax)
+    nbx, nby = -(-cw // 8), -(-ch // 8)
+    act = huff[(1, ta)]
+    p1, m1 = 1 << al, -1 << al
+    blk_count = 0
+    for r in range(nby):
+        for c in range(nbx):
+            if restart and blk_count and blk_count % restart == 0:
+                next_segment()
+            coef = g[r, c]
+            if ah == 0:              # AC first scan (G.1.2.2)
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = reader.huffman(act)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr < 15:
+                                state["eobrun"] = (1 << rr) - 1
+                                if rr:
+                                    state["eobrun"] += reader.receive(rr)
+                                break
+                            k += 16          # ZRL
+                            continue
+                        k += rr
+                        if k > se:
+                            return None
+                        coef[ZIGZAG[k]] = _extend(reader.receive(s),
+                                                  s) << al
+                        k += 1
+            else:                    # AC refinement scan (G.1.2.3)
+                k = ss
+                if state["eobrun"] == 0:
+                    while k <= se:
+                        rs = reader.huffman(act)
+                        rr, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if rr < 15:
+                                state["eobrun"] = (1 << rr)
+                                if rr:
+                                    state["eobrun"] += reader.receive(rr)
+                                break
+                            # rr == 15: ZRL — skip 16 zero-history slots
+                        else:
+                            if s != 1:
+                                return None
+                            val = p1 if reader.bit() else m1
+                        while k <= se:
+                            z = ZIGZAG[k]
+                            if coef[z] != 0:
+                                if reader.bit() and (coef[z] & p1) == 0:
+                                    coef[z] += p1 if coef[z] > 0 else m1
+                            else:
+                                if rr == 0:
+                                    if s:
+                                        coef[z] = val
+                                    k += 1
+                                    break
+                                rr -= 1
+                            k += 1
+                if state["eobrun"] > 0:
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if coef[z] != 0:
+                            if reader.bit() and (coef[z] & p1) == 0:
+                                coef[z] += p1 if coef[z] > 0 else m1
+                        k += 1
+                    state["eobrun"] -= 1
+            blk_count += 1
+    return end
+
+
+def _finish_progressive(frame, grids, qt, hmax, vmax):
+    H, W, comps = frame
+    out_planes = []
+    for cid, h, v, tq in comps:
+        g = grids[cid]
+        q = qt[tq].astype(np.float64)
+        coefs = (g.reshape(-1, 64).astype(np.float64) * q).reshape(-1, 8, 8)
+        spatial = _idct_blocks(coefs)
+        nby, nbx = g.shape[0], g.shape[1]
+        plane = (spatial.reshape(nby, nbx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+        ry, rx = vmax // v, hmax // h
+        if ry * v != vmax or rx * h != hmax:
+            return None
+        full = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(full[:H, :W].astype(np.float64))
+    if len(out_planes) == 1:
+        gpl = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.stack([gpl, gpl, gpl], axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, gg, b], axis=2)), 0,
                    255).astype(np.uint8)
 
 
@@ -568,5 +820,270 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         out += part
         if k < len(entropy_parts) - 1:
             out += bytes([0xFF, 0xD0 + (k % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------------- progressive fixture encoder
+# Spec-valid SOF2 streams exercising every progressive decode path: a
+# successive-approximation DC scan + DC refinement, per-component AC
+# spectral bands at Al=1, and AC refinement scans with EOB runs and
+# buffered correction bits (T.81 G.1.2.2/G.1.2.3).
+
+# progressive AC table: ALL 176 symbols ((run,size) pairs, EOB0, EOBn
+# n=1..14, ZRL) at a flat 9 bits — fixtures favor spec coverage over
+# compression (the baseline table has no room for the EOBn codes)
+_PROG_AC_VALS = bytes(
+    [0x00]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [(r << 4) for r in range(1, 15)])
+_PROG_AC_COUNTS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+assert len(_PROG_AC_VALS) == 176
+
+
+class _ProgAC:
+    """AC-scan writer state: EOB-run accumulation + correction-bit
+    buffering (bits flush after the next emitted symbol, EOB included)."""
+
+    def __init__(self, w: _BitWriter, ac_tab):
+        self.w = w
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def _flush_bits(self):
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+    def emit_eobrun(self):
+        if self.eobrun == 0:
+            return
+        nbits = self.eobrun.bit_length() - 1
+        c, l = self.ac[nbits << 4]
+        self.w.write(c, l)
+        if nbits:
+            self.w.write(self.eobrun - (1 << nbits), nbits)
+        self._flush_bits()
+        self.eobrun = 0
+
+    def symbol(self, sym: int, extra: int = 0, nbits: int = 0):
+        self.emit_eobrun()
+        c, l = self.ac[sym]
+        self.w.write(c, l)
+        if nbits:
+            self.w.write(extra, nbits)
+        self._flush_bits()
+
+    def end_block_eob(self):
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.emit_eobrun()
+
+
+def _ac_first_block(pw: _ProgAC, zz: np.ndarray, ss: int, se: int, al: int):
+    band = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        band.append((abs(v) >> al) * (1 if v > 0 else -1))
+    nz = [i for i, v in enumerate(band) if v]
+    if not nz:
+        pw.end_block_eob()
+        return
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            pw.symbol(0xF0)
+            run -= 16
+        s, bits = _magnitude(v)
+        pw.symbol((run << 4) | s, bits, s)
+        run = 0
+    if nz[-1] < len(band) - 1:
+        pw.end_block_eob()
+
+
+def _ac_refine_block(pw: _ProgAC, zz: np.ndarray, ss: int, se: int, al: int):
+    """Mirror of the decoder's G.1.2.3 crossing: correction bits of
+    nonzero-history coefficients are interleaved INTO each symbol's
+    crossing window (a ZRL flushes only the bits within its own 16-zero
+    span); trailing positions ride the EOB run's buffered bits."""
+    kinds: list[tuple] = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if (abs(v) >> (al + 1)) != 0:
+            kinds.append(("h", a & 1))          # nonzero history
+        elif a == 1:
+            kinds.append(("n", 1 if v > 0 else 0))  # newly nonzero
+        else:
+            kinds.append(("z",))                 # zero-history zero
+    new_pos = [i for i, t in enumerate(kinds) if t[0] == "n"]
+    if not new_pos:
+        pw.bits.extend(t[1] for t in kinds if t[0] == "h")
+        pw.end_block_eob()
+        return
+    pos = 0
+    for j in new_pos:
+        window = kinds[pos:j]
+        r = sum(1 for t in window if t[0] == "z")
+        wi = 0
+        while r > 15:
+            pw.symbol(0xF0)                      # flushes EOB-run bits too
+            zc = 0
+            while wi < len(window) and zc < 16:
+                if window[wi][0] == "z":
+                    zc += 1
+                else:
+                    pw.w.write(window[wi][1], 1)
+                wi += 1
+            r -= 16
+        pw.symbol((r << 4) | 1, kinds[j][1], 1)
+        while wi < len(window):
+            if window[wi][0] == "h":
+                pw.w.write(window[wi][1], 1)
+            wi += 1
+        pos = j + 1
+    tail = kinds[new_pos[-1] + 1:]
+    if tail:
+        pw.bits.extend(t[1] for t in tail if t[0] == "h")
+        pw.end_block_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85,
+                            subsampling: tuple[int, int] = (1, 1)) -> bytes:
+    """H×W×3 uint8 RGB → progressive (SOF2) JFIF bytes.  Same
+    quantization as ``encode_jpeg``, so a progressive round-trip decodes
+    to EXACTLY the baseline round-trip's pixels (asserted in tests)."""
+    img = np.asarray(img, dtype=np.uint8)
+    H, W = img.shape[:2]
+    sh, sv = subsampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsampling factors must be 1 or 2")
+
+    rgb = img.astype(np.float64)
+    y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+    cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+        + 0.5 * rgb[:, :, 2]
+    cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+        - 0.081312 * rgb[:, :, 2]
+    if (sh, sv) != (1, 1):
+        ph, pw_ = -(-H // sv) * sv, -(-W // sh) * sh
+
+        def down(p):
+            pp = np.pad(p, ((0, ph - H), (0, pw_ - W)), mode="edge")
+            return pp.reshape(ph // sv, sv, pw_ // sh, sh).mean(axis=(1, 3))
+        cb, cr = down(cb), down(cr)
+
+    qt_l = _scaled_qt(_QT_LUM, quality)
+    qt_c = _scaled_qt(_QT_CHROM, quality)
+    dc_tab = _enc_table(_DC_COUNTS, _DC_VALS)
+    ac_tab = _enc_table(_PROG_AC_COUNTS, _PROG_AC_VALS)
+
+    def quantize(plane, qt):
+        blocks, by, bx = _comp_blocks(plane)
+        qcoef = np.empty((by, bx, 64), np.int32)
+        for r in range(by):
+            for c in range(bx):
+                coefs = _DCT @ (blocks[r, c] - 128.0) @ _DCT.T
+                qcoef[r, c] = np.round(coefs.reshape(64) / qt).astype(np.int32)
+        return qcoef
+
+    qy = quantize(y, qt_l.astype(np.float64).reshape(8, 8).ravel())
+    qcb = quantize(cb, qt_c.astype(np.float64).reshape(8, 8).ravel())
+    qcr = quantize(cr, qt_c.astype(np.float64).reshape(8, 8).ravel())
+    grids = {1: (qy, sh, sv), 2: (qcb, 1, 1), 3: (qcr, 1, 1)}
+    mcx = -(-W // (8 * sh))
+    mcy = -(-H // (8 * sv))
+
+    def grid_get(q, r, c):
+        return q[min(r, q.shape[0] - 1), min(c, q.shape[1] - 1)]
+
+    def dc_scan(cids, ah, al) -> bytes:
+        w = _BitWriter()
+        preds = {cid: 0 for cid in cids}
+        for my in range(mcy):
+            for mx in range(mcx):
+                for cid in cids:
+                    q, h, v = grids[cid]
+                    for byy in range(v):
+                        for bxx in range(h):
+                            dc = int(grid_get(q, my * v + byy,
+                                              mx * h + bxx)[0])
+                            if ah == 0:
+                                val = dc >> al
+                                s, bits = _magnitude(val - preds[cid])
+                                c, l = dc_tab[s]
+                                w.write(c, l)
+                                if s:
+                                    w.write(bits, s)
+                                preds[cid] = val
+                            else:
+                                w.write((dc >> al) & 1, 1)
+        w.flush()
+        return bytes(w.out)
+
+    def ac_scan(cid, ss, se, ah, al) -> bytes:
+        w = _BitWriter()
+        pw = _ProgAC(w, ac_tab)
+        q, _, _ = grids[cid]
+        for r in range(q.shape[0]):
+            for c in range(q.shape[1]):
+                zz = q[r, c][ZIGZAG]
+                if ah == 0:
+                    _ac_first_block(pw, zz, ss, se, al)
+                else:
+                    _ac_refine_block(pw, zz, ss, se, al)
+        pw.emit_eobrun()
+        w.flush()
+        return bytes(w.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(scomps: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, td, ta in scomps:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = qt_l.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    zz_c = qt_c.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out += seg(0xDB, b"\x00" + zz_l + b"\x01" + zz_c)
+    sof = struct.pack(">BHHB", 8, H, W, 3)
+    sof += bytes([1, (sh << 4) | sv, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    out += seg(0xC2, sof)                        # SOF2: progressive
+    dht = b"\x00" + bytes(_DC_COUNTS) + _DC_VALS
+    dht += b"\x10" + bytes(_PROG_AC_COUNTS) + _PROG_AC_VALS
+    out += seg(0xC4, dht)
+    # scan script: DC SA first+refine, per-comp AC bands at Al=1,
+    # then AC refinement to Al=0
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 1)
+    out += dc_scan([1, 2, 3], 0, 1)
+    out += sos([(1, 0, 0)], 1, 5, 0, 1)
+    out += ac_scan(1, 1, 5, 0, 1)
+    out += sos([(2, 0, 0)], 1, 63, 0, 1)
+    out += ac_scan(2, 1, 63, 0, 1)
+    out += sos([(3, 0, 0)], 1, 63, 0, 1)
+    out += ac_scan(3, 1, 63, 0, 1)
+    out += sos([(1, 0, 0)], 6, 63, 0, 1)
+    out += ac_scan(1, 6, 63, 0, 1)
+    out += sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 1, 0)
+    out += dc_scan([1, 2, 3], 1, 0)
+    out += sos([(1, 0, 0)], 1, 63, 1, 0)
+    out += ac_scan(1, 1, 63, 1, 0)
+    out += sos([(2, 0, 0)], 1, 63, 1, 0)
+    out += ac_scan(2, 1, 63, 1, 0)
+    out += sos([(3, 0, 0)], 1, 63, 1, 0)
+    out += ac_scan(3, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)

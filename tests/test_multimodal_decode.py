@@ -286,11 +286,24 @@ def test_media_cross_format_dups(ray_session):
     # structure: every pair is within one base-image family; lossless
     # re-encodings (PPM/PNG/GIF) are exact (cosine == 1), JPEG is near
     assert (df["id1"] // 10 == df["id2"] // 10).all()
-    lossless = df[(df["id1"] % 10 != 2) & (df["id2"] % 10 != 2)]
+    # lossless re-encodings (PPM/PNG/GIF) are exact; both JPEG variants
+    # (baseline %10==2, progressive %10==4) are lossy
+    lossless = df[~df["id1"].mod(10).isin([2, 4])
+                  & ~df["id2"].mod(10).isin([2, 4])]
     assert (lossless["cosine"] == 1.0).all()
-    jpeg = df[(df["id1"] % 10 == 2) | (df["id2"] % 10 == 2)]
-    assert len(jpeg) > 0 and (jpeg["cosine"] < 1.0).all()
+    jpeg = df[df["id1"].mod(10).isin([2, 4])
+              | df["id2"].mod(10).isin([2, 4])]
+    # a baseline-vs-progressive pair of the SAME pixels decodes
+    # bit-identically (same quantized coefficients → same IDCT), so its
+    # cosine is exactly 1; every JPEG-vs-lossless pair is strictly < 1
+    b_vs_p = jpeg[jpeg["id1"].mod(10).isin([2, 4])
+                  & jpeg["id2"].mod(10).isin([2, 4])]
+    assert len(b_vs_p) > 0 and (b_vs_p["cosine"] == 1.0).all()
+    vs_lossless = jpeg.drop(b_vs_p.index)
+    assert len(vs_lossless) > 0 and (vs_lossless["cosine"] < 1.0).all()
     assert (jpeg["cosine"] >= 0.995).all()
+    # progressive siblings exist and cluster with their family
+    assert (df["id1"].mod(10).eq(4) | df["id2"].mod(10).eq(4)).any()
 
 
 # ---------------------------------------------------------------- audio
@@ -376,3 +389,50 @@ def test_audio_strict_mode_raises(ray_session):
                       "payload": pa.array([b"ID3\x03stub"], pa.binary())})
     with pytest.raises(NotImplementedError):
         AudioFeatureExtractor(mode="strict")(batch)
+
+
+def test_progressive_jpeg_roundtrip_equals_baseline():
+    """Progressive (SOF2) streams decode to EXACTLY the baseline
+    round-trip's pixels — both paths reconstruct the same quantized
+    coefficients, so the IDCT output must be bit-identical.  Covers DC
+    successive approximation + refinement, per-component AC spectral
+    bands, AC refinement with EOB runs and buffered correction bits,
+    4:4:4 / 4:2:0 / asymmetric subsampling, odd sizes."""
+    import numpy as np
+
+    from ice_ray.stages.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rs = np.random.RandomState(3)
+    for shape, sub in [((24, 40), (1, 1)), ((33, 17), (1, 1)),
+                       ((37, 51), (2, 2)), ((16, 24), (2, 1)),
+                       ((9, 9), (1, 2)), ((8, 8), (1, 1))]:
+        img = np.zeros(shape + (3,), np.uint8)
+        yy, xx = np.mgrid[0:shape[0], 0:shape[1]]
+        img[:, :, 0] = (yy * 5 + xx * 3) % 256
+        img[:, :, 1] = rs.randint(0, 255, shape).astype(np.uint8)
+        img[:, :, 2] = ((xx * 7) % 256).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=80,
+                                                   subsampling=sub))
+        assert prog is not None, (shape, sub)
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_jpeg_malformed():
+    import numpy as np
+
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    img = np.full((16, 16, 3), 77, np.uint8)
+    good = encode_jpeg_progressive(img)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(good[:len(good) // 2]) is None     # truncated
+    assert decode_jpeg(good[:-2]) is None                 # missing EOI
+    bad = bytearray(good)
+    i = bad.find(b"\xff\xc2")
+    bad[i + 1] = 0xC9                                     # arithmetic SOF
+    assert decode_jpeg(bytes(bad)) is None
