@@ -3,17 +3,19 @@ typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The image path is REAL for PPM (P6), 24-bit uncompressed BMP, 8-bit
 non-interlaced PNG (stdlib zlib inflate + scanline unfiltering, filters
-0–4), GIF87a/89a (pure-python variable-width LZW, interlace supported)
-and baseline JPEG (SOF0/SOF1 Huffman + numpy IDCT — see
+0–4), GIF87a/89a (pure-python variable-width LZW, interlace supported),
+baseline JPEG (SOF0/SOF1 Huffman + numpy IDCT) AND progressive JPEG
+(SOF2 spectral selection + successive approximation — see
 ``stages/jpeg.py``); the audio path is REAL for RIFF/WAVE PCM
 (8/16/32-bit int and float32, any channel count → mono) with numpy
-spectral band-energy features — decode → resize/featurize →
-dedup/similarity runs end-to-end on actual pixels/samples with no
-external libraries.  Progressive JPEG, compressed audio (mp3/ogg/aac)
-and video decoding need libjpeg/ffmpeg, which are not in this
-container: those payloads fall back to deterministic digest-seeded fake
-features (``mode="fake"``), or raise with ``mode="strict"`` to mark the
-boundary explicitly.
+spectral band-energy features; the video path is REAL for MJPEG-in-AVI
+(RIFF container parse + per-frame JPEG decode, ``parse_avi_mjpeg``) —
+decode → resize/featurize → frame-sample → dedup/similarity runs
+end-to-end on actual pixels/samples with no external libraries.
+Compressed audio (mp3/ogg/aac) and non-MJPEG video codecs (H.264, …)
+need ffmpeg, which is not in this container: those payloads fall back
+to deterministic digest-seeded fake features (``mode="fake"``), or
+raise with ``mode="strict"`` to mark the boundary explicitly.
 
 Batch-size guidance (SURVEY §7 'wide rows'): with payloads of ~1 MB keep
 ``batch_size`` ≤ 64 so batch × concurrency stays inside a worker heap.
