@@ -440,11 +440,38 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 # ---------------------------------------------------------------- audio
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry µ-law / A-law → float32 lookup tables (ITU-T G.711
+    expansion formulas; pure computation, no audioop)."""
+    codes = np.arange(256, dtype=np.int32)
+    # µ-law: invert bits, split sign/exponent/mantissa, expand with bias
+    u = ~codes & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    ulaw = np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+    # A-law: even bits inverted, segments 0-7
+    a = codes ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1))
+    # A-law sign convention: MSB SET means positive (opposite of µ-law's
+    # complemented code)
+    alaw = np.where(sign, mag, -mag).astype(np.float32) / 32768.0
+    return alaw, ulaw
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
     """binary → (mono float32 samples in [-1, 1], sample_rate), or None
     for non-WAV / compressed / malformed payloads.  Pure stdlib+numpy
-    RIFF/WAVE parse: PCM 8-bit unsigned, 16/32-bit signed, and IEEE
-    float32; multi-channel is averaged to mono."""
+    RIFF/WAVE parse: PCM 8-bit unsigned, 16/32-bit signed, IEEE
+    float32, and G.711 A-law/µ-law (format tags 6/7, table expansion);
+    multi-channel is averaged to mono."""
     if (not payload or len(payload) < 44 or payload[:4] != b"RIFF"
             or payload[8:12] != b"WAVE"):
         return None
@@ -475,6 +502,10 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int] | None:
         elif audio_format == 3 and bits == 32:
             x = np.frombuffer(data[:len(data) & ~3],
                               dtype="<f4").astype(np.float32)
+        elif audio_format == 6 and bits == 8:    # G.711 A-law
+            x = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+        elif audio_format == 7 and bits == 8:    # G.711 µ-law
+            x = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
         else:
             return None  # compressed (mp3/ogg inside RIFF) / exotic widths
         n = (len(x) // channels) * channels

@@ -502,3 +502,52 @@ def test_mjpeg_avi_roundtrip_and_frame_sampling(ray_session):
                       concurrency=2,
                       fn_constructor_kwargs={"strict": True})
          .to_pandas())
+
+
+def test_g711_wav_decode():
+    """G.711 µ-law/A-law WAV (format tags 7/6): table expansion decodes
+    a companded sine back to the original within companding tolerance,
+    and a µ-law silence byte (0xFF) decodes to exactly 0."""
+    import struct
+
+    import numpy as np
+
+    from ice_ray.stages.multimodal import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        decode_audio,
+    )
+
+    # spot values: µ-law 0xFF = +0, 0x7F = -0; A-law 0xD5 = +8/32768
+    assert _ULAW_TABLE[0xFF] == 0.0 and _ULAW_TABLE[0x7F] == 0.0
+    assert abs(_ALAW_TABLE[0xD5] - 8.0 / 32768.0) < 1e-7
+
+    def mu_compress(x):
+        """Reference µ-law compressor (G.711 formula) for the fixture."""
+        y = np.clip((x * 32768.0).astype(np.int64), -32635, 32635)
+        sign = np.where(y < 0, 0x80, 0)
+        mag = np.abs(y) + 0x84
+        exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+        mant = (mag >> (exp + 3)) & 0x0F
+        return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+    rate, n = 8000, 800
+    t = np.arange(n) / rate
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    comp = mu_compress(sig)
+
+    def wav(fmt_tag, data):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, rate, rate, 1, 8)
+        return (b"RIFF" + struct.pack("<I", 20 + len(fmt) + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    out = decode_audio(wav(7, comp.tobytes()))
+    assert out is not None
+    mono, r = out
+    assert r == rate and len(mono) == n
+    # companding error bound: µ-law SNR ≈ 38 dB on a half-scale sine
+    assert np.abs(mono - sig).max() < 0.02
+    # A-law path decodes and yields the right length too
+    out2 = decode_audio(wav(6, comp.tobytes()))
+    assert out2 is not None and len(out2[0]) == n
