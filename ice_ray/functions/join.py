@@ -365,3 +365,72 @@ def _asof_broadcast(left, right, on, left_ts, right_ts, suffix,
         return out[out_cols]
 
     return left.map_batches(merge_map, batch_format="pandas")
+
+
+def attach_background_counts(fg, bg, key: str, count_col: str,
+                             out_col: str = "bg_count",
+                             strategy: str = "auto",
+                             broadcast_max_rows: int = 20_000_000,
+                             broadcast_max_bytes: int = 512 << 20,
+                             num_buckets: int | None = None):
+    """Append ``out_col`` = background's ``count_col`` for each fg row's
+    ``key`` (missing key → 0) — the shared finish of every ratio/PMI
+    scorer (TermRanker, Ratio.java, PMI marginals).
+
+    The background side is an AGGREGATE (vocabulary-shaped, not
+    corpus-shaped), but an open-web vocabulary is 10^9 distinct terms —
+    so nothing un-gated may land on the driver: ``auto`` broadcasts a
+    worker-side-built :class:`HashedStringMap` while the bg aggregate
+    fits the row+byte gate, and above it falls back to a bucketed LEFT
+    hash join on the key (sub-linear memory, one extra fg exchange).
+    ``strategy`` ∈ {auto, broadcast, join}."""
+    import numpy as np
+
+    if out_col in fg.schema().names:
+        raise ValueError(f"out_col {out_col!r} collides with a left column")
+    bg = bg.select_columns([key, count_col]).materialize()
+    n = bg.count()
+    use_bcast = (strategy == "broadcast"
+                 or (strategy == "auto" and n <= broadcast_max_rows
+                     and (bg.size_bytes() or 0) <= broadcast_max_bytes))
+    if use_bcast:
+        from ..stages.dedup import _cached_get, _worker_side
+        from .lookup import HashedStringMap
+
+        def build(kc, vc, *tables):
+            ks, vs = [], []
+            for t in tables:
+                if kc not in t.column_names:    # empty shuffle parts
+                    continue
+                ks.append(np.asarray(t.column(kc).to_pylist(), dtype=object))
+                vs.append(t.column(vc).to_numpy(zero_copy_only=False))
+            if not ks:
+                return HashedStringMap()
+            return HashedStringMap(np.concatenate(ks),
+                                   np.concatenate(vs).astype(object))
+
+        ref = _worker_side(build, bg, key, count_col)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            m = _cached_get(ref)
+            probe = np.asarray(batch.column(key).to_pylist(), dtype=object)
+            vals = m.lookup(probe, np.zeros(len(probe), dtype=object))
+            return batch.append_column(
+                out_col, pa.array(vals.astype(np.int64), pa.int64()))
+
+        return fg.map_batches(attach, batch_format="pyarrow")
+
+    renamed = bg.map_batches(
+        lambda t: t.rename_columns([key, out_col]), batch_format="pyarrow")
+    # normalize pandas-backed blocks → Arrow so schema().types are Arrow
+    # DataTypes (bucketed_hash_join casts against them)
+    fg_arrow = fg.map_batches(lambda t: t, batch_format="pyarrow")
+    joined = bucketed_hash_join(fg_arrow, renamed, key, key, how="left",
+                                num_buckets=num_buckets)
+
+    def fill0(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(out_col)
+        filled = pc.fill_null(pc.cast(batch.column(out_col), pa.int64()), 0)
+        return batch.set_column(i, out_col, filled)
+
+    return joined.map_batches(fill0, batch_format="pyarrow")

@@ -52,23 +52,31 @@ class ContextFeaturizer:
 
 
 def build_pmi_index(annotations, min_pmi: float = 0.1,
-                    strategy: str = "broadcast"):
+                    strategy: str = "auto",
+                    marginal_broadcast_max: int = 20_000_000,
+                    marginal_broadcast_max_bytes: int = 512 << 20):
     """→ (term, contexts list<struct<ctx,pmi>>) dataset.
 
-    Priors shipping: ``broadcast`` (default) sends the term/ctx marginal
-    dicts via ray.put — vocabulary-bounded; ``join`` (open-web vocab
-    scale path) attaches the marginals with two bucketed hash joins
-    instead (sub-linear memory)."""
-    import ray
-
+    Priors shipping: ``broadcast`` sends worker-side-built term/ctx
+    marginal dicts (never through the driver; ``auto`` picks it while
+    the pair-count aggregate fits the row+byte gate); ``join`` (open-web
+    vocab scale path, the ``auto`` fallback) attaches the marginals with
+    two bucketed hash joins instead (sub-linear memory)."""
     from ..functions.shuffle import grouped_aggregate
+    from ..stages.dedup import _dataset_sum
 
     counts = grouped_aggregate(
         annotations.map_batches(ContextFeaturizer, batch_format="pyarrow",
                                 concurrency=(1, 8)),
         keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
     ).materialize()
-    n_total = counts.sum("n")
+    n_total = _dataset_sum(counts, "n")
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if (counts.count() <= marginal_broadcast_max
+                        and (counts.size_bytes() or 0)
+                        <= marginal_broadcast_max_bytes)
+                    else "join")
     if strategy == "join":
         from ..functions.join import bucketed_hash_join
 
@@ -92,16 +100,21 @@ def build_pmi_index(annotations, min_pmi: float = 0.1,
 
         cells = with_cs.map_batches(cell, batch_format="pyarrow")
     else:
-        rs_pdf = grouped_aggregate(counts, keys=["term"], specs=[("n", "sum")],
-                                   rename={"n_sum": "rs"}).to_pandas()
-        rowsums = dict(zip(rs_pdf["term"], rs_pdf["rs"]))
-        cs_pdf = grouped_aggregate(counts, keys=["ctx"], specs=[("n", "sum")],
-                                   rename={"n_sum": "cs"}).to_pandas()
-        colsums = dict(zip(cs_pdf["ctx"], cs_pdf["cs"]))
-        rs_ref, cs_ref = ray.put(rowsums), ray.put(colsums)
+        # marginal dicts built worker-side from the materialized aggregate
+        # block refs (never through the driver), cached per worker
+        from ..stages.dedup import _build_dict, _cached_get, _worker_side
+
+        rs_ds = grouped_aggregate(counts, keys=["term"],
+                                  specs=[("n", "sum")],
+                                  rename={"n_sum": "rs"}).materialize()
+        cs_ds = grouped_aggregate(counts, keys=["ctx"],
+                                  specs=[("n", "sum")],
+                                  rename={"n_sum": "cs"}).materialize()
+        rs_ref = _worker_side(_build_dict, rs_ds, "term", "rs")
+        cs_ref = _worker_side(_build_dict, cs_ds, "ctx", "cs")
 
         def cell(batch: pa.Table) -> pa.Table:
-            rs_map, cs_map = ray.get(rs_ref), ray.get(cs_ref)
+            rs_map, cs_map = _cached_get(rs_ref), _cached_get(cs_ref)
             t = batch.column("term").to_pylist()
             x = batch.column("ctx").to_pylist()
             n = batch.column("n").to_pylist()

@@ -16,8 +16,6 @@ Each stage pre-aggregates per batch before the shuffle.
 
 from __future__ import annotations
 
-import math
-
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -84,27 +82,28 @@ def key_counts(ds: "ray.data.Dataset", col: str,
 def rank_against_background(fg_counts: "ray.data.Dataset",
                             bg_counts: "ray.data.Dataset",
                             key: str = "typed_path",
-                            count_col: str = "count") -> "ray.data.Dataset":
+                            count_col: str = "count",
+                            strategy: str = "auto") -> "ray.data.Dataset":
     """Ratio score ``(f+1)/(f'+1) * ln(f+1)`` (utils/Ratio.java:44-50,
     add-one on both sides, missing background → 1), sorted descending.
-    The background side is broadcast (small after aggregation)."""
-    import ray
+    The background side rides ``attach_background_counts``' row+byte
+    gated broadcast, with the bucketed LEFT join above the gate — no
+    un-gated vocabulary dict on the driver (r4 hot-path audit)."""
+    import numpy as np
 
-    bg_pdf = bg_counts.to_pandas()
-    bg_map = dict(zip(bg_pdf[key], bg_pdf[count_col]))
-    bg_ref = ray.put(bg_map)
+    from ..functions.join import attach_background_counts
 
-    class Scorer:
-        def __init__(self):
-            self.bg = ray.get(bg_ref)
+    with_bg = attach_background_counts(fg_counts, bg_counts, key=key,
+                                       count_col=count_col, out_col="_bg",
+                                       strategy=strategy)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column(key).to_pylist()
-            f1 = [c + 1 for c in batch.column(count_col).to_pylist()]
-            f2 = [self.bg.get(k, 0) + 1 for k in keys]
-            score = [a / b * math.log(a) for a, b in zip(f1, f2)]
-            return batch.append_column("score", pa.array(score, pa.float64()))
+    def score_batch(batch: pa.Table) -> pa.Table:
+        f1 = batch.column(count_col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64) + 1
+        f2 = batch.column("_bg").to_numpy(zero_copy_only=False) + 1
+        score = f1 / f2 * np.log(f1)
+        return batch.drop_columns(["_bg"]).append_column(
+            "score", pa.array(score, pa.float64()))
 
-    return (fg_counts
-            .map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    return (with_bg.map_batches(score_batch, batch_format="pyarrow")
             .sort("score", descending=True))

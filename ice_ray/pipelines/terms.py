@@ -86,35 +86,34 @@ def ice_term_counts(annotations):
                                      "doc_freq_sum": "doc_freq"})
 
 
-def rank_terms(fg_counts, bg_counts, alpha: float = 1.0):
+def rank_terms(fg_counts, bg_counts, alpha: float = 1.0,
+               strategy: str = "auto"):
     """TermRanker: score = posDF · ln(posDF)^alpha / negDF, negDF = bg+1
-    (missing → 1); 'Contact/today/yesterday' foreground rows dropped."""
-    import math
+    (missing → 1); 'Contact/today/yesterday' foreground rows dropped.
 
-    import ray
+    The background vocabulary rides the gated broadcast / bucketed-join
+    shape of ``attach_background_counts`` — it never lands un-gated on
+    the driver (the r4 hot-path audit)."""
+    import numpy as np
+    import pyarrow.compute as pc
 
-    bg_pdf = bg_counts.to_pandas()
-    bg_map = dict(zip(bg_pdf["term"], bg_pdf["doc_freq"]))
-    bg_ref = ray.put(bg_map)
+    from ..functions.join import attach_background_counts
 
-    class Scorer:
-        def __init__(self):
-            self.bg = ray.get(bg_ref)
+    with_bg = attach_background_counts(fg_counts, bg_counts,
+                                       key="term", count_col="doc_freq",
+                                       out_col="_bg_df", strategy=strategy)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            terms = batch.column("term").to_pylist()
-            pos = batch.column("doc_freq").to_pylist()
-            keep, score = [], []
-            for t, p in zip(terms, pos):
-                if t in _EXCLUDED:
-                    keep.append(False)
-                    score.append(0.0)
-                    continue
-                neg = self.bg.get(t, 0) + 1
-                keep.append(True)
-                score.append(p * (math.log(p) ** alpha if p > 1 else 0.0) / neg)
-            out = batch.append_column("score", pa.array(score, pa.float64()))
-            return out.filter(pa.array(keep))
+    def score_batch(batch: pa.Table) -> pa.Table:
+        p = batch.column("doc_freq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        neg = batch.column("_bg_df").to_numpy(zero_copy_only=False) + 1
+        # same op order as the scalar form: (p · ln(p)^α) / neg, 0 at p≤1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.where(p > 1, p * np.log(p) ** alpha / neg, 0.0)
+        out = batch.drop_columns(["_bg_df"]).append_column(
+            "score", pa.array(score, pa.float64()))
+        return out.filter(pc.invert(pc.is_in(
+            out.column("term"), value_set=pa.array(sorted(_EXCLUDED)))))
 
-    return (fg_counts.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 2))
+    return (with_bg.map_batches(score_batch, batch_format="pyarrow")
             .sort(["score", "term"], descending=[True, False]))

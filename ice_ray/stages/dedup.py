@@ -443,43 +443,171 @@ def neardup_clusters(pairs_ds, max_rounds: int = 50):
     ).sort_values("doc_id").reset_index(drop=True)
 
 
+def _cc_numpy(e1: np.ndarray, e2: np.ndarray):
+    """Min-label connected components over an int edge list, entirely in
+    numpy: alternating hooking (min over neighbor labels, ``minimum.at``)
+    and pointer-doubling shortcuts (``lab = lab[lab]`` to the local
+    fixpoint) — star contraction, O(log n) hook rounds × O(E) vector work.
+    Returns (nodes_sorted, component_min_label_per_node)."""
+    nodes, inv = np.unique(np.concatenate([e1, e2]), return_inverse=True)
+    m = len(e1)
+    a, b = inv[:m], inv[m:]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, a, lab[b])
+        np.minimum.at(new, b, lab[a])
+        while True:                       # shortcut to the round fixpoint
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes, nodes[lab]
+
+
+def _cc_local_task(*tables) -> pa.Table:
+    """Single-worker CC over the edge block refs (the gated small-graph
+    path: the edge list never lands on the driver, and the kernel is the
+    vectorized pointer-doubling `_cc_numpy`)."""
+    e1s, e2s = [], []
+    for t in tables:
+        if "id1" not in t.column_names:     # empty shuffle parts
+            continue
+        e1s.append(t.column("id1").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+        e2s.append(t.column("id2").to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
+    if not e1s:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    nodes, lab = _cc_numpy(np.concatenate(e1s), np.concatenate(e2s))
+    return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                     "cluster": pa.array(lab, pa.int64())})
+
+
+def _build_root_map(key_col: str, val_col: str, *tables):
+    """(sorted keys, root values) arrays from label-table blocks, with the
+    labels POINTER-DOUBLED to their roots worker-side (every label value
+    is itself a key, so resolution is repeated vectorized searchsorted —
+    O(log depth) passes).  A compressed broadcast map makes every
+    propagation round a star contraction: O(log n) rounds total instead
+    of O(component diameter)."""
+    ks, vs = [], []
+    for t in tables:
+        if key_col not in t.column_names:   # empty shuffle parts
+            continue
+        ks.append(t.column(key_col).to_numpy(zero_copy_only=False))
+        vs.append(t.column(val_col).to_numpy(zero_copy_only=False))
+    if not ks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    k = np.concatenate(ks).astype(np.int64)
+    v = np.concatenate(vs).astype(np.int64)
+    order = np.argsort(k)
+    k, v = k[order], v[order]
+    while True:
+        v2 = v[np.searchsorted(k, v)]
+        if np.array_equal(v2, v):
+            break
+        v = v2
+    return k, v
+
+
+def _propagate_rootmap(batch: pa.Table, *, lab_ref) -> pa.Table:
+    """Broadcast-strategy message step: label of each edge's neighbor via
+    one searchsorted against the per-worker-cached compressed root map
+    (plain task fn — keeps operator fusion; no per-round actor pool)."""
+    k, v = _cached_get(lab_ref)
+    nbr = batch.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = v[np.searchsorted(k, nbr)]
+    return pa.table({"node": batch.column("node"),
+                     "label": pa.array(lab, pa.int64())})
+
+
+def _sum_col_task(col: str, *tables) -> int:
+    import pyarrow.compute as pc
+    s = 0
+    for t in tables:
+        if col in t.column_names and t.num_rows:
+            s += pc.sum(t.column(col)).as_py() or 0
+    return s
+
+
+def _dataset_sum(ds, col: str) -> int:
+    """Σ over a materialized dataset's blocks via one Ray task on its
+    block refs — avoids launching a full streaming-executor job per
+    convergence check (measured ≈0.3–0.5 s of fixed overhead each)."""
+    import ray
+    return ray.get(ray.remote(_sum_col_task).remote(col, *ds.to_arrow_refs()))
+
+
 def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
                                  strategy: str = "auto",
-                                 broadcast_max_nodes: int = 2_000_000):
-    """Connected components over the candidate-pair edge list as Ray
-    iterations of min-label propagation.  Two execution strategies:
+                                 broadcast_max_nodes: int = 2_000_000,
+                                 local_max_edges: int = 30_000_000,
+                                 local_max_bytes: int = 512 << 20):
+    """Connected components over the candidate-pair edge list.  Three
+    execution strategies, all converging to min-node-id component labels:
 
-    - ``join`` (the scale path): each round is a bucketed hash join
-      edges ⋈ labels on the neighbor id → (node, nbr_label) messages,
-      then one bucketed min aggregate with the previous labels unioned
-      in.  Nothing node-bounded ever lands on the driver.
-    - ``broadcast`` (small-graph fast path): the label map is broadcast
-      via ray.put and messages are a map-side lookup — one shuffle fewer
-      per round; bounded by the number of nodes touched by pairs.
+    - ``local`` (gated fast path, the auto default while the edge table
+      fits one worker: ≤ ``local_max_edges`` rows AND ≤ ``local_max_bytes``):
+      ONE Ray task runs the vectorized numpy hooking + pointer-doubling
+      kernel over the edge block refs — zero per-round barriers.  Near-dup
+      edge lists are duplicate-bounded (≪ corpus) and LSH head-pairing
+      caps hot buckets, so this gate holds far longer than the corpus fits
+      anywhere.
+    - ``broadcast`` (node-bounded): per round, a worker-side task builds a
+      sorted-array label map POINTER-DOUBLED to roots (`_build_root_map`),
+      and a fused task-fn map_batches hooks each node to the min neighbor
+      root — star contraction, O(log n) rounds, one Dataset execution per
+      round.
+    - ``join`` (the 100-TB path, nothing node-bounded anywhere): per round,
+      a bucketed exchange computes min-over-neighbor-labels messages, a
+      bucketed min aggregate folds them into the labels, and TWO bucketed
+      label self-joins apply pointer-doubling shortcuts (L ← L[L]) — the
+      label gap grows multiplicatively per round, so chains converge in
+      O(log diameter) rounds instead of O(diameter).  All stages of a
+      round pipeline inside one streaming execution.
 
     Convergence is detected distributively: labels are monotonically
-    non-increasing under min-propagation, so the fixpoint is reached
-    exactly when Σ labels stops changing (one tiny distributed sum per
-    round, no driver-side dict comparison).  Converges in O(component
-    diameter) rounds; warns if max_rounds is hit first.
+    non-increasing, so the fixpoint is reached exactly when Σ labels stops
+    changing (computed by a task over the materialized label block refs —
+    no extra Dataset job, no driver-side dict comparison).
     Returns a Dataset (doc_id, cluster)."""
     import warnings
 
     import ray
+    import ray.data
 
     from ..functions.shuffle import grouped_aggregate, hash_mod
 
+    raw = pairs_ds.map_batches(
+        lambda t: pa.table({
+            "id1": pa.compute.cast(t.column("id1"), pa.int64()),
+            "id2": pa.compute.cast(t.column("id2"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    n_edges = raw.count()
+    if strategy == "auto":
+        strategy = ("local" if (n_edges <= local_max_edges
+                                and (raw.size_bytes() or 0) <= local_max_bytes)
+                    else "join")
+
+    if strategy == "local":
+        ref = _worker_side(_cc_local_task, raw)
+        return ray.data.from_arrow_refs([ref])
+
     def explode(batch: pa.Table) -> pa.Table:
         # undirected edges → both directions
-        a = pa.compute.cast(batch.column("id1"), pa.int64()).combine_chunks()
-        b = pa.compute.cast(batch.column("id2"), pa.int64()).combine_chunks()
+        a = batch.column("id1").combine_chunks()
+        b = batch.column("id2").combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]),
                          "nbr": pa.concat_arrays([b, a])})
 
-    edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    n_edges = edges.count()
+    edges = raw.map_batches(explode, batch_format="pyarrow").materialize()
     # bucket count bounds reduce-group size (≈250k edge rows per group)
-    num_buckets = max(8, min(4096, n_edges // 250_000 + 1))
+    num_buckets = max(8, min(4096, 2 * n_edges // 250_000 + 1))
     # pre-bucketed edge copy for the join strategy — built lazily on
     # first use so the broadcast fast path never pays its extra shuffle
     # and materialization
@@ -491,9 +619,8 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
             batch_format="pyarrow"),
         keys=["node"], specs=[("label", "min")], rename={"label_min": "label"},
     ).materialize()
-    if strategy == "auto":
-        strategy = ("broadcast" if labels.count() <= broadcast_max_nodes
-                    else "join")
+    if strategy == "broadcast" and labels.count() > broadcast_max_nodes:
+        strategy = "join"
 
     def _neighbor_min(df: pd.DataFrame) -> pd.DataFrame:
         """One hash bucket: edge rows (node, nbr) + label rows for every
@@ -510,28 +637,52 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
         out["label"] = out["label"].astype("int64")
         return out
 
-    prev_sum = labels.sum("label")
+    def _shortcut(lab_ds):
+        """One pointer-doubling round L(v) ← L(L(v)) as a bucketed label
+        self-join: query rows keyed by the label value, map rows keyed by
+        the node id (every label value IS a node, so lookups always hit).
+        Moves only the label table — never the edges.  Both row kinds are
+        emitted by ONE pass over ``lab_ds`` (a union of two branches of
+        the same lazy parent would re-execute the parent per branch)."""
+        def emit(t: pa.Table) -> pa.Table:
+            node = t.column("node").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            label = t.column("label").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            n = len(node)
+            nulls = np.full(n, -1, np.int64)
+            key = np.concatenate([label, node])     # q keyed by label,
+            nodes = np.concatenate([node, nulls])   # map keyed by node
+            labs = np.concatenate([nulls, label])
+            ismap = np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
+            out = pa.table({"key": pa.array(key, pa.int64()),
+                            "node": pa.array(nodes, pa.int64()),
+                            "label": pa.array(labs, pa.int64()),
+                            "_m": pa.array(ismap)})
+            return out.append_column(
+                "_b", hash_mod(out.column("key"), num_buckets))
+
+        def resolve(df: pd.DataFrame) -> pd.DataFrame:
+            is_map = df["_m"].to_numpy()
+            lab = dict(zip(df.loc[is_map, "key"], df.loc[is_map, "label"]))
+            qq = df[~is_map]
+            return pd.DataFrame({
+                "node": qq["node"].to_numpy().astype("int64"),
+                "label": qq["key"].map(lab).to_numpy().astype("int64")})
+
+        return (lab_ds.map_batches(emit, batch_format="pyarrow")
+                .groupby("_b").map_groups(resolve, batch_format="pandas"))
+
+    prev_sum = _dataset_sum(labels, "label")
     converged = False
     for _ in range(max_rounds):
         if strategy == "broadcast":
-            # label map rebuilt worker-side each round from the
+            # root map rebuilt worker-side each round from the
             # materialized labels' block refs — no per-round driver pull
-            lab_ref = _worker_side(_build_dict, labels, "node", "label")
-
-            class Propagate:
-                def __init__(self):
-                    self.lab = ray.get(lab_ref)
-
-                def __call__(self, batch: pa.Table) -> pa.Table:
-                    nbrs = batch.column("nbr").to_pylist()
-                    return pa.table({
-                        "node": batch.column("node"),
-                        "label": pa.array([self.lab[n] for n in nbrs],
-                                          pa.int64()),
-                    })
-
-            msgs = edges.map_batches(Propagate, batch_format="pyarrow",
-                                     concurrency=(1, 4))
+            lab_ref = _worker_side(_build_root_map, labels, "node", "label")
+            msgs = edges.map_batches(_propagate_rootmap,
+                                     batch_format="pyarrow",
+                                     fn_kwargs={"lab_ref": lab_ref})
         else:
             if edges_b is None:
                 # bucket edges by hash(nbr) ONCE — the per-round shuffle
@@ -560,8 +711,13 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
             msgs.union(labels.select_columns(["node", "label"])),
             keys=["node"], specs=[("label", "min")],
             rename={"label_min": "label"},
-            num_buckets=num_buckets).materialize()
-        s = labels.sum("label")
+            num_buckets=num_buckets)
+        if strategy == "join":
+            # two pointer-doubling shortcuts pipelined into the same
+            # execution as the hook round (no extra materialize barrier)
+            labels = _shortcut(_shortcut(labels))
+        labels = labels.materialize()
+        s = _dataset_sum(labels, "label")
         if s == prev_sum:
             converged = True
             break
