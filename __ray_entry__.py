@@ -644,12 +644,33 @@ def _q_bpe_tokens(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dups over the fixture augmented with planted
+    exact duplicates (shared deterministic planting with the serial gold
+    — the testdata embeddings are isotropic, so without planting the
+    oracle row would be a schema-only 0 == 0 check)."""
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     import ray.data
-    from ice_ray.stages.similarity import embedding_neardup_pairs
+    from ice_ray.stages.similarity import (
+        PLANT_DUP_ID_OFFSET,
+        PLANT_DUP_MAX_ID,
+        embedding_neardup_pairs,
+    )
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    df = embedding_neardup_pairs(emb, threshold=0.9).to_pandas()
+
+    def bump(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("vec_id")
+        return t.set_column(i, "vec_id",
+                            pc.add(pc.cast(t.column("vec_id"), pa.int64()),
+                                   PLANT_DUP_ID_OFFSET))
+
+    dups = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        filter=pc.field("vec_id") < PLANT_DUP_MAX_ID,
+    ).map_batches(bump, batch_format="pyarrow")
+    df = embedding_neardup_pairs(emb.union(dups), threshold=0.9).to_pandas()
     if df.empty:  # fully-empty map_groups output loses its schema in Ray
         df = pd.DataFrame({"id1": pd.Series(dtype="int64"),
                            "id2": pd.Series(dtype="int64"),

@@ -923,8 +923,13 @@ def gold_embeddings(sf_dir: str) -> dict[str, pd.DataFrame]:
     bucketer = HyperplaneBucketer(dim=dim)
     knn_lsh = (bucketer(emb).select(["vec_id", "label", "bucket"])
                .to_pandas())
-    # embedding near-dup: exact verify inside each LSH bucket (serial)
-    bdf = bucketer(emb).to_pandas()
+    # embedding near-dup: exact verify inside each LSH bucket (serial),
+    # over the fixture augmented with planted exact duplicates (shared
+    # deterministic planting with _q_embedding_neardup — without it the
+    # isotropic testdata yields 0 pairs and the oracle row is trivial)
+    from .stages.similarity import plant_neardup_rows
+
+    bdf = bucketer(plant_neardup_rows(emb)).to_pandas()
     rows = []
     for _, g in bdf.groupby("bucket", sort=True):
         m = np.asarray(g["embedding"].tolist(), dtype=np.float64)

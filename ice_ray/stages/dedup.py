@@ -732,10 +732,18 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
 
 
 class SimHasher:
-    """64-bit SimHash over word features; near-dups share bucket prefixes."""
+    """64-bit SimHash over word features; near-dups share bucket prefixes.
+
+    The batch path is vectorized (the r4 audit's last per-row text
+    kernel): tokens are md5-hashed once per DISTINCT token (cached
+    across batches on the instance — actor-pool state), then one
+    ``np.add.reduceat`` pass over a (n_tokens, 64) ±1 bit matrix sums
+    all documents at once.  Bit-identical to :meth:`simhash64` (the
+    scalar reference form, kept for tests/golds)."""
 
     def __init__(self, prefix_bits: int = 16):
         self.prefix_bits = prefix_bits
+        self._tok_cache: dict[str, bytes] = {}
 
     @staticmethod
     def simhash64(text: str) -> int:
@@ -748,16 +756,47 @@ class SimHasher:
         out = np.packbits((v > 0).astype(np.uint8))
         return int.from_bytes(out.tobytes(), "little")
 
+    def _simhash_batch(self, texts: list) -> np.ndarray:
+        """Vectorized simhash64 over a batch → uint64 array."""
+        toks = [_WORD_RE.findall((t or "").lower()) for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = [w for ts in toks for w in ts]
+        if not flat:
+            return np.zeros(len(texts), dtype=np.uint64)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        rows = np.empty((len(uniq), 8), dtype=np.uint8)
+        cache = self._tok_cache
+        for i, tok in enumerate(uniq):
+            b = cache.get(tok)
+            if b is None:
+                b = hashlib.md5(tok.encode()).digest()[:8]
+                if len(cache) > 1_000_000:   # bound actor memory
+                    cache.clear()
+                cache[tok] = b
+            rows[i] = np.frombuffer(b, dtype=np.uint8)
+        # per-distinct-token ±1 bit rows (MSB-first per byte, little-
+        # endian byte order — the exact layout of the scalar form)
+        signed_u = np.unpackbits(rows, axis=1).astype(np.int16) * 2 - 1
+        signed = signed_u[codes]                       # (n_tokens, 64)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        v = np.zeros((len(texts), 64), dtype=np.int32)
+        nonempty = lens > 0
+        if nonempty.any():
+            # reduceat treats an empty segment as a 1-element slice, so
+            # compute only non-empty docs and scatter back
+            v[nonempty] = np.add.reduceat(signed, starts[nonempty],
+                                          axis=0, dtype=np.int32)
+        packed = np.packbits((v > 0).astype(np.uint8), axis=1)
+        return packed.view(np.uint64).reshape(-1)      # little-endian host
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
-        hs, buckets = [], []
-        for text in batch.column("text").to_pylist():
-            h = self.simhash64(text)
-            hs.append(h)
-            buckets.append(h >> (64 - self.prefix_bits))
+        hs = self._simhash_batch(batch.column("text").to_pylist())
+        buckets = (hs >> np.uint64(64 - self.prefix_bits)).astype(np.int64)
         # int64 view of the 64-bit fingerprint (wraps negative) so the
         # column survives engines whose canonical integer type is int64
-        hs64 = np.array(hs, dtype=np.uint64).astype(np.int64)
+        hs64 = hs.astype(np.int64)
         return pa.table({"doc_id": ids,
                          "simhash": pa.array(hs64, pa.int64()),
                          "bucket": pa.array(buckets, pa.int64())})

@@ -261,6 +261,33 @@ def ivf_search_persisted(centroids: np.ndarray, persist_dir: str,
                          k=k, col=col)
 
 
+# near-dup fixture planting (shared by __ray_entry__._q_embedding_neardup
+# and the serial gold): the driver testdata's embeddings are isotropic —
+# no pairs exist at any useful threshold, so a 0-row == 0-row oracle
+# verifies schema only.  Planting EXACT duplicates of the first few
+# vectors under offset ids makes the row count non-zero at every sf.
+PLANT_DUP_MAX_ID = 20
+PLANT_DUP_ID_OFFSET = 10_000_000
+
+
+def plant_neardup_rows(table: pa.Table,
+                       max_id: int = PLANT_DUP_MAX_ID,
+                       id_offset: int = PLANT_DUP_ID_OFFSET) -> pa.Table:
+    """Append exact duplicates of rows with ``vec_id < max_id`` under
+    ``vec_id + id_offset`` — deterministic test-power augmentation."""
+    import pyarrow.compute as pc
+
+    ids = pc.cast(table.column("vec_id"), pa.int64())
+    head = table.filter(pc.less(ids, max_id))
+    i = head.schema.get_field_index("vec_id")
+    bumped = head.set_column(
+        i, "vec_id",
+        pc.cast(pc.add(pc.cast(head.column("vec_id"), pa.int64()),
+                       id_offset),
+                table.schema.field("vec_id").type))
+    return pa.concat_tables([table, bumped])
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
                             seed: int = 42, col: str = "embedding",
                             max_bucket: int = 256):

@@ -112,6 +112,25 @@ def test_dedup_family(ray_session):
     assert ngram_jaccard(base, docs[3]["text"]) < 0.1
 
 
+def test_simhash_batch_matches_scalar():
+    """Vectorized batch simhash must be bit-identical to the scalar
+    reference form on mixed content (incl. empty/None/symbol-only docs),
+    and again through the per-actor token cache."""
+    from ice_ray.stages.dedup import SimHasher
+
+    rs = np.random.RandomState(5)
+    vocab = [f"tok{i}" for i in range(300)] + ["the", "a", "12x", "99"]
+    texts = [" ".join(rs.choice(vocab, size=rs.randint(0, 50)))
+             for _ in range(400)]
+    texts += ["", None, "   ", "ALL CAPS Words 123", "!!!", "x"]
+    sh = SimHasher()
+    want = np.array([SimHasher.simhash64(t) for t in texts], dtype=np.uint64)
+    got = sh._simhash_batch(texts)
+    assert np.array_equal(got, want)
+    got2 = sh._simhash_batch(texts)          # cache-hit path
+    assert np.array_equal(got2, want)
+
+
 def test_knn_multi_query(ray_session):
     import ray.data
 
