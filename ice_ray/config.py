@@ -82,12 +82,19 @@ class PipelineConfig:
     link_strategy: str = "broadcast"       # "broadcast" (registry fits memory) | "shuffle" (10^12-turn safe)
     fuse_decode: bool = True               # flagship: one annotate+extract+tag actor pool (path rows
                                            # never hit the object store); False = split pools (cached layout)
-    extract_strategy: str = "direct"       # "direct": zero-shuffle in-place extraction (per-actor memo;
-                                           # wins at single-node pool sizes). "dedup": annotate each
-                                           # DISTINCT text once then broadcast-or-join the rows back —
-                                           # the multi-node strategy: per-actor memos annotate a text
-                                           # appearing k times ~min(k, pool) times, so their benefit
-                                           # vanishes as the pool grows (see pipelines/kg.extract_edges)
+    extract_strategy: str = "auto"         # "auto": sample the duplication ratio and pick (see
+                                           # kg.resolve_extract_strategy). "direct": zero-shuffle
+                                           # in-place extraction (per-actor memo; wins at single-node
+                                           # pool sizes). "dedup": annotate each DISTINCT text once then
+                                           # broadcast-or-join the rows back — the multi-node strategy:
+                                           # per-actor memos annotate a text appearing k times
+                                           # ~min(k, pool) times, so their benefit vanishes as the pool
+                                           # grows (see pipelines/kg.extract_edges)
+    strategy_sample_rows: int = 16_384     # rows sampled by extract_strategy="auto" (first-rows
+                                           # iter_batches pull, early-aborted — see kg.resolve_extract_strategy)
+    dedup_crossover_waste: float = 12.0    # auto picks "dedup" when direct's estimated per-text
+                                           # annotation multiplier min(corpus/distinct, pool) reaches
+                                           # this (measured tie ≈11–12 at 32 actors, BASELINE.md r4)
     dedup_rows_broadcast_max: int = 5_000_000    # distinct-text edge rows above this (or the byte cap)
     dedup_rows_broadcast_max_bytes: int = 512 << 20  # map back via bucketed join, not broadcast
     dirty_broadcast_max: int = 200_000     # refresh: dirty-key sets above this re-extract the whole group

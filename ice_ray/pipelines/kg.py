@@ -126,6 +126,46 @@ def _tkey(text: str) -> str:
     return hashlib.md5((text or "").encode()).hexdigest()
 
 
+def resolve_extract_strategy(transcripts: "ray.data.Dataset",
+                             cfg: PipelineConfig) -> str:
+    """Pick "direct" vs "dedup" from a bounded sample of the corpus.
+
+    Direct's waste is its per-text annotation multiplier
+    ``min(corpus/distinct, pool)`` (a text appearing k times is annotated
+    ~min(k, pool) times across the extraction pool — measured r4); dedup
+    pays a distinct exchange + map-back worth ≈11–12 annotation-multiples
+    at the r4 crossover.  So: sample ``strategy_sample_rows`` turns, take
+    waste = min(sample_n/sample_distinct, cluster CPUs), and pick
+    "dedup" at ``waste ≥ cfg.dedup_crossover_waste``.  The sample is the
+    corpus's FIRST rows pulled via an early-aborted ``iter_batches`` (a
+    ``limit()`` would re-scan the read stage — measured +1.4 s on the
+    30k-turn bench); per-batch distinct counts are summed (cross-batch
+    duplicates uncollapsed), so the duplication ratio is an UNDERestimate
+    and the sample carries detect_salt's documented first-rows bias —
+    both err toward direct, never paying the exchange on corpora that
+    don't repay it."""
+    import pyarrow.compute as pc
+
+    try:
+        pool = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:
+        pool = 8
+
+    n = d = 0
+    for b in transcripts.iter_batches(batch_size=16384,
+                                      batch_format="pyarrow",
+                                      prefetch_batches=0):
+        t = pc.fill_null(b.column("text").combine_chunks(), "")
+        n += len(t)
+        d += len(pc.unique(t))
+        if n >= cfg.strategy_sample_rows:
+            break
+    if n == 0:
+        return "direct"
+    waste = min(n / max(d, 1), pool)
+    return "dedup" if waste >= cfg.dedup_crossover_waste else "direct"
+
+
 def extract_edges(transcripts: "ray.data.Dataset",
                   rules: dict[str, str] | None = None,
                   cfg: PipelineConfig | None = None,
@@ -163,7 +203,10 @@ def extract_edges(transcripts: "ray.data.Dataset",
                                           emit_person_mentions=True),
                             rules, cfg)
 
-    if cfg.extract_strategy != "dedup":
+    strategy = cfg.extract_strategy
+    if strategy == "auto":
+        strategy = resolve_extract_strategy(transcripts, cfg)
+    if strategy != "dedup":
         return direct(transcripts)
 
     from ..functions.shuffle import grouped_aggregate
@@ -446,8 +489,10 @@ def build_kg(transcripts: "ray.data.Dataset",
     cfg = cfg or PipelineConfig()
     # the decode path needs no repr/example — skip the linearizer;
     # person mentions of path-less turns ride along for coref.
-    # extract_edges dispatches on cfg.extract_strategy (distinct-text
-    # dedup extraction by default — see its docstring)
+    # extract_edges dispatches on cfg.extract_strategy ("auto" default:
+    # a sampled duplication-ratio probe picks "direct" at single-node
+    # pool sizes and "dedup" when per-actor memos stop deduplicating —
+    # see resolve_extract_strategy)
     edges = extract_edges(transcripts, rules, cfg)
     edges = canonicalize_edges(edges, strategy=cfg.link_strategy)
     return dedup_edges(edges)
@@ -613,7 +658,11 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
         ds = ray.data.read_parquet(files, columns=["conv_id", "turn_idx", "text"],
                                    override_num_blocks=max(len(files), ncpu * 4))
         marked = ds.map_batches(mark_dirty, batch_format="pyarrow")
-        dirty = marked.filter(expr="_dirty == True").drop_columns(["_dirty"])
+        # materialize once: count, the worker-side key build, and the
+        # re-extraction all reuse the same blocks (three executions of
+        # the filter chain otherwise)
+        dirty = (marked.filter(expr="_dirty == True")
+                 .drop_columns(["_dirty"]).materialize())
         n_dirty = dirty.count()
         if n_dirty == 0:
             continue
@@ -642,23 +691,47 @@ def refresh_kg_job(input_files: list[str], out_dir: str,
             # this group
             merged = _extract(ds)
         else:
-            # dirty turn keys → drop their cached edges, append re-extractions
-            keys = {(r["conv_id"], r["turn_idx"])
-                    for r in dirty.select_columns(["conv_id", "turn_idx"]).iter_rows()}
-            keys_ref = ray.put(keys)
+            # dirty turn keys → drop their cached edges, append
+            # re-extractions.  The (cap-bounded) key set is built
+            # WORKER-side from the materialized dirty blocks as a sorted
+            # composite-key array (never through the driver), and the
+            # drop filter is one vectorized searchsorted per batch via a
+            # fusable cached task fn (no actor pool, no per-row loop).
+            from ..stages.dedup import _cached_get, _worker_side
 
-            class DropDirty:
-                def __init__(self):
-                    self.keys = ray.get(keys_ref)
+            def _composite(conv, turn):
+                return pc_.binary_join_element_wise(
+                    pc_.cast(conv, pa.string()),
+                    pc_.cast(turn, pa.string()), "\x01")
 
-                def __call__(self, batch: pa.Table) -> pa.Table:
-                    mask = [(c, t) not in self.keys for c, t in
-                            zip(batch.column("conv_id").to_pylist(),
-                                batch.column("turn_idx").to_pylist())]
-                    return batch.filter(pa.array(mask))
+            def _key_arr(*tables):
+                import numpy as np
+                parts = []
+                for t in tables:
+                    if "conv_id" not in t.column_names:
+                        continue
+                    parts.append(_composite(t.column("conv_id"),
+                                            t.column("turn_idx"))
+                                 .to_numpy(zero_copy_only=False))
+                return (np.sort(np.concatenate(parts)) if parts
+                        else np.empty(0, object))
+
+            keys_ref = _worker_side(_key_arr, dirty)
+
+            def drop_dirty(batch: pa.Table) -> pa.Table:
+                import numpy as np
+                keys = _cached_get(keys_ref)
+                if len(keys) == 0:
+                    return batch
+                k = _composite(batch.column("conv_id"),
+                               batch.column("turn_idx")) \
+                    .to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(keys, k), len(keys) - 1)
+                hit = keys[pos] == k
+                return batch.filter(pa.array(~hit))
 
             cached = ray.data.read_parquet(gdir).map_batches(
-                DropDirty, batch_format="pyarrow", concurrency=(1, 4))
+                drop_dirty, batch_format="pyarrow")
             merged = cached.union(_extract(dirty))
         tmp = gdir + ".tmp"
         merged.write_parquet(tmp, mode="overwrite")

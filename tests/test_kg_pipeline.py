@@ -92,6 +92,30 @@ def test_extract_strategies_equal(corpus):
     b = canon(extract_edges(ds, cfg=PipelineConfig(extract_strategy="dedup")))
     c = canon(extract_edges(ds, cfg=PipelineConfig(
         extract_strategy="dedup", dedup_rows_broadcast_max=0)))
+    d = canon(extract_edges(ds, cfg=PipelineConfig(extract_strategy="auto")))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+    pd.testing.assert_frame_equal(a, d)
+
+
+def test_resolve_extract_strategy(ray_session):
+    """The "auto" resolver picks dedup on heavily-duplicated corpora and
+    direct on unique-text corpora (crossover injected via cfg so the
+    4-cpu test pool can cross it)."""
+    import pandas as pd
+
+    import ray.data
+    from ice_ray.config import PipelineConfig
+    from ice_ray.pipelines.kg import resolve_extract_strategy
+
+    hot = ray.data.from_pandas(pd.DataFrame({
+        "text": ["same boilerplate tool output"] * 2000}))
+    uniq = ray.data.from_pandas(pd.DataFrame({
+        "text": [f"unique turn number {i}" for i in range(2000)]}))
+    cfg = PipelineConfig(dedup_crossover_waste=3.0)
+    assert resolve_extract_strategy(hot, cfg) == "dedup"
+    assert resolve_extract_strategy(uniq, cfg) == "direct"
+    # default crossover (12) cannot be crossed by a 4-cpu pool:
+    # min(ratio, pool)=4 < 12 → direct even on the hot corpus
+    assert resolve_extract_strategy(hot, PipelineConfig()) == "direct"
