@@ -29,53 +29,15 @@ import ray.data
 def drop_ids(docs, ids_ds, id_col: str = "doc_id",
              broadcast_max_rows: int = 50_000_000,
              broadcast_max_bytes: int = 512 << 20):
-    """Anti-semi-join helper: drop rows whose id appears in ``ids_ds``
-    (same gated broadcast / bucketed anti-join shape as
-    ``dedup.dedup_apply``)."""
-    import numpy as np
-    import pyarrow.compute as pc
+    """Drop rows whose id appears in ``ids_ds`` — thin alias of the
+    shared :func:`ice_ray.stages.dedup.anti_semi_join` kernel (one
+    implementation for dedup_apply and the curation drop steps, so
+    gate/guard fixes can't drift between copies)."""
+    from ..stages.dedup import anti_semi_join
 
-    from ..stages.dedup import _cached_get, _worker_side
-
-    ids_ds = ids_ds.select_columns([id_col]).materialize()
-    n = ids_ds.count()
-    if n == 0:
-        return docs
-    if (n <= broadcast_max_rows
-            and (ids_ds.size_bytes() or 0) <= broadcast_max_bytes):
-        def build_sorted(col, *tables):
-            arrs = [t.column(col).to_numpy(zero_copy_only=False)
-                    for t in tables if col in t.column_names]
-            return np.sort(np.concatenate(arrs)) if arrs \
-                else np.empty(0, np.int64)
-
-        ref = _worker_side(build_sorted, ids_ds, id_col)
-
-        def keep(batch: pa.Table) -> pa.Table:
-            drop = _cached_get(ref)
-            vals = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(drop, vals)
-            pos = np.minimum(pos, max(len(drop) - 1, 0))
-            hit = (drop[pos] == vals) if len(drop) else \
-                np.zeros(len(vals), bool)
-            return batch.filter(pa.array(~hit))
-
-        return docs.map_batches(keep, batch_format="pyarrow")
-
-    from ..functions.join import bucketed_hash_join
-
-    marked = ids_ds.map_batches(
-        lambda t: t.append_column("_drop", pa.array([True] * t.num_rows)),
-        batch_format="pyarrow")
-    joined = bucketed_hash_join(docs, marked, left_on=id_col,
-                                right_on=id_col, how="left")
-
-    def keep_unmarked(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-        return (t.filter(pc2.is_null(t.column("_drop")))
-                .drop_columns(["_drop"]))
-
-    return joined.map_batches(keep_unmarked, batch_format="pyarrow")
+    return anti_semi_join(docs, ids_ds, id_col=id_col,
+                          broadcast_max_rows=broadcast_max_rows,
+                          broadcast_max_bytes=broadcast_max_bytes)
 
 
 def curate_corpus(docs, quality_min: float = 0.6, bench_mod: int = 50,

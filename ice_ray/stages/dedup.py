@@ -1055,31 +1055,31 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
     return counted.map_batches(finish, batch_format="pyarrow")
 
 
-def dedup_apply(docs, clusters, id_col: str = "doc_id",
-                broadcast_max_rows: int = 50_000_000,
-                broadcast_max_bytes: int = 512 << 20):
-    """The ACTION step of near-dup dedup: drop every cluster member
-    except its head (cluster label == id), keep all un-clustered docs.
-    The loser set is duplicate-bounded (strictly smaller than the dup
-    surface), so the default path broadcasts it as a worker-built
-    frozenset (row- AND byte-gated); above the caps it falls back to a
-    bucketed anti-join (left join + null filter)."""
+def anti_semi_join(docs, ids_ds, id_col: str = "doc_id",
+                   broadcast_max_rows: int = 50_000_000,
+                   broadcast_max_bytes: int = 512 << 20):
+    """Drop every docs row whose ``id_col`` appears in ``ids_ds`` — the
+    shared ACTION kernel of dedup_apply / decontamination / curation
+    drop steps.  The id set is dup/contamination-bounded (≪ corpus), so
+    the default path broadcasts it as a worker-built SORTED array probed
+    with one searchsorted per batch (row- AND byte-gated); above the
+    caps it falls back to a bucketed anti-join (left join + null
+    filter)."""
     import pyarrow.compute as pc
 
-    losers = (clusters.filter(expr=f"cluster != {id_col}")
-              .select_columns([id_col]).materialize())
-    n = losers.count()
+    ids_ds = ids_ds.select_columns([id_col]).materialize()
+    n = ids_ds.count()
     if n == 0:
         return docs
     if (n <= broadcast_max_rows
-            and (losers.size_bytes() or 0) <= broadcast_max_bytes):
+            and (ids_ds.size_bytes() or 0) <= broadcast_max_bytes):
         def build_sorted(col, *tables):
             arrs = [t.column(col).to_numpy(zero_copy_only=False)
                     for t in tables if col in t.column_names]
             return np.sort(np.concatenate(arrs)) if arrs \
                 else np.empty(0, np.int64)
 
-        ref = _worker_side(build_sorted, losers, id_col)
+        ref = _worker_side(build_sorted, ids_ds, id_col)
 
         def keep(batch: pa.Table) -> pa.Table:
             # vectorized membership: sorted-array searchsorted probe, no
@@ -1096,7 +1096,7 @@ def dedup_apply(docs, clusters, id_col: str = "doc_id",
 
     from ..functions.join import bucketed_hash_join
 
-    marked = losers.map_batches(
+    marked = ids_ds.map_batches(
         lambda t: t.append_column("_drop", pa.array([True] * t.num_rows)),
         batch_format="pyarrow")
     joined = bucketed_hash_join(docs, marked, left_on=id_col,
@@ -1107,3 +1107,15 @@ def dedup_apply(docs, clusters, id_col: str = "doc_id",
                 .drop_columns(["_drop"]))
 
     return joined.map_batches(keep_unmarked, batch_format="pyarrow")
+
+
+def dedup_apply(docs, clusters, id_col: str = "doc_id",
+                broadcast_max_rows: int = 50_000_000,
+                broadcast_max_bytes: int = 512 << 20):
+    """The ACTION step of near-dup dedup: drop every cluster member
+    except its head (cluster label == id), keep all un-clustered docs —
+    i.e. :func:`anti_semi_join` over the loser set."""
+    losers = clusters.filter(expr=f"cluster != {id_col}")
+    return anti_semi_join(docs, losers, id_col=id_col,
+                          broadcast_max_rows=broadcast_max_rows,
+                          broadcast_max_bytes=broadcast_max_bytes)

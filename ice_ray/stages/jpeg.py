@@ -352,6 +352,12 @@ def _decode_progressive(buf, pos, frame, qt, huff, restart):
     while i + 2 <= n:
         if buf[i] != 0xFF:
             return None
+        # spec-legal padding (B.1.1.2): any run of 0xFF fill bytes may
+        # precede the marker id — skip to the last 0xFF of the run
+        while i + 2 <= n and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            return None
         marker = buf[i + 1]
         if marker == 0xD9:          # EOI — assemble the image
             return _finish_progressive(frame, grids, qt, hmax, vmax)

@@ -164,6 +164,9 @@ def ivf_build(ds, n_centroids: int = 16, col: str = "embedding",
 
     seeds = sample_n(ds.select_columns(["vec_id", col]), n_centroids,
                      id_col="vec_id").sort_values("vec_id")
+    if seeds.empty:
+        raise ValueError("ivf_build: input dataset has no rows — cannot "
+                         "seed centroids")
     centroids = _l2_normalize(
         np.asarray(seeds[col].tolist(), dtype=np.float64))
 
@@ -261,6 +264,16 @@ def ivf_search_persisted(centroids: np.ndarray, persist_dir: str,
                          k=k, col=col)
 
 
+def _infer_dim(ds, col: str, what: str) -> int:
+    """Vector dimensionality from the first row — with a clear error on
+    an empty dataset instead of take(1)'s IndexError (ADVICE r4)."""
+    rows = ds.take(1)
+    if not rows:
+        raise ValueError(f"{what}: input dataset has no rows — cannot "
+                         f"infer the {col!r} dimensionality")
+    return len(rows[0][col])
+
+
 # near-dup fixture planting (shared by __ray_entry__._q_embedding_neardup
 # and the serial gold): the driver testdata's embeddings are isotropic —
 # no pairs exist at any useful threshold, so a 0-row == 0-row oracle
@@ -297,7 +310,7 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, n_planes: int = 10,
     bucket head only, logged via the truncated flag column)."""
     import pandas as pd
 
-    dim = len(ds.take(1)[0][col])
+    dim = _infer_dim(ds, col, "embedding_neardup_pairs")
     bucketed = ds.map_batches(
         HyperplaneBucketer(dim=dim, n_planes=n_planes, seed=seed, col=col),
         batch_format="pyarrow")
@@ -379,7 +392,7 @@ def lsh_build(ds, n_planes: int = 12, seed: int = 42,
     partitioned by ``bucket`` — ``lsh_search_persisted`` then reads ONLY
     the probed partitions (the LSH mirror of ``ivf_build(persist_dir=)``).
     Returns the bucketed Dataset."""
-    dim = len(ds.take(1)[0][col])
+    dim = _infer_dim(ds, col, "lsh_build")
     bucketed = ds.map_batches(
         HyperplaneBucketer(dim=dim, n_planes=n_planes, seed=seed, col=col),
         batch_format="pyarrow")

@@ -438,6 +438,33 @@ def test_progressive_jpeg_malformed():
     assert decode_jpeg(bytes(bad)) is None
 
 
+def test_progressive_jpeg_ff_fill_padding():
+    """Spec-legal 0xFF fill bytes before an inter-scan marker (T.81
+    B.1.1.2 padding) must decode identically, not parse the pad as a
+    segment length (r4 ADVICE)."""
+    import numpy as np
+
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.stack([(yy * 9) % 256, (xx * 13) % 256,
+                    (yy + xx) % 256], axis=2).astype(np.uint8)
+    good = encode_jpeg_progressive(img)
+    base = decode_jpeg(good)
+    assert base is not None
+    # pad before EOI (0xFF fill can't occur inside entropy data — the
+    # coder stuffs 0x00 after literal 0xFF bytes)
+    eoi = good.rfind(b"\xff\xd9")
+    assert np.array_equal(decode_jpeg(good[:eoi] + b"\xff" * 3 + good[eoi:]),
+                          base)
+    # pad before a later-scan SOS marker
+    first = good.find(b"\xff\xda")
+    second = good.find(b"\xff\xda", first + 2)
+    assert second > 0, "progressive stream should have multiple scans"
+    padded = good[:second] + b"\xff" * 2 + good[second:]
+    assert np.array_equal(decode_jpeg(padded), base)
+
+
 # ---------------------------------------------------------------- video
 
 def test_mjpeg_avi_roundtrip_and_frame_sampling(ray_session):
