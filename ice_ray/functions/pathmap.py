@@ -26,9 +26,21 @@ def swap12(s: str) -> str:
     return _SUB_RE.sub(lambda m: "(2)" if m.group(1) == "1" else "(1)", s)
 
 
-def build_repr_map(path_counts) -> dict[str, str]:
+def build_repr_map(path_counts, max_rows: int = 5_000_000) -> dict[str, str]:
     """path-counts dataset → {normalized repr: typed_path} (first wins by
-    count desc then key, deterministic)."""
+    count desc then key, deterministic).
+
+    Driver-resident BY DESIGN (the reference's in-memory DepPathMap
+    singleton feeding model-file writers and the expander GUI loop), but
+    guarded: a corpus-shaped path vocabulary fails loudly at ``max_rows``
+    instead of OOMing the driver — at that scale use the distributed
+    decode joins / length-banded ReprIndex instead."""
+    n = path_counts.count()
+    if n > max_rows:
+        raise ValueError(
+            f"build_repr_map: {n} path rows exceed the driver gate "
+            f"({max_rows}); use the distributed decode path "
+            "(stages/tagger) or raise max_rows explicitly")
     rows = sorted(path_counts.iter_rows(),
                   key=lambda r: (-r["count"], r["typed_path"]))
     out: dict[str, str] = {}

@@ -157,9 +157,18 @@ def build_pmi_index(annotations, min_pmi: float = 0.1,
             .groupby("_b").map_groups(bucket_to_index, batch_format="pandas"))
 
 
-def load_index_as_dict(index_ds) -> dict[str, dict[str, float]]:
+def load_index_as_dict(index_ds,
+                       max_rows: int = 5_000_000) -> dict[str, dict[str, float]]:
     """Index dataset → {term: {ctx: pmi}} (the expander's in-memory form,
-    entityset/EntitySetExpander.java:219-249)."""
+    entityset/EntitySetExpander.java:219-249).  Driver-resident by
+    design, but guarded: a corpus-shaped term vocabulary fails loudly at
+    ``max_rows`` instead of OOMing the driver."""
+    n = index_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"load_index_as_dict: {n} index rows exceed the driver gate "
+            f"({max_rows}); keep the index as a Dataset (join-side) or "
+            "raise max_rows explicitly")
     out: dict[str, dict[str, float]] = {}
     for row in index_ds.iter_rows():
         out[row["term"]] = {c["ctx"]: c["pmi"] for c in row["contexts"]}

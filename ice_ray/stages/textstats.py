@@ -103,29 +103,41 @@ def _tf_rows(ds, text_col: str, id_col: str):
 
 
 def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
-                 strategy: str = "broadcast"):
+                 strategy: str = "auto",
+                 vocab_broadcast_max: int = 20_000_000,
+                 vocab_broadcast_max_bytes: int = 512 << 20):
     """Per-(doc, term) TF-IDF: ``tf · ln(N / df)`` with raw term counts
     as tf.
 
-    ``strategy="broadcast"`` (default): the df table is broadcast and
-    scores are a per-batch transform — no per-doc shuffle.  Correct
-    while the VOCABULARY fits worker memory.
+    ``strategy="broadcast"``: the df table is broadcast (built
+    WORKER-side from the aggregate's block refs — never through the
+    driver) and scores are a per-batch transform — no per-doc shuffle.
+    ``auto`` (default) picks it while the vocabulary fits the row+byte
+    gate.
 
-    ``strategy="join"`` (open-web vocabulary scale path): tf rows join
-    the df table with a bucketed hash join on the term — sub-linear
-    memory, one extra exchange of the tf rows."""
+    ``strategy="join"`` (open-web vocabulary scale path, the ``auto``
+    fallback): tf rows join the df table with a bucketed hash join on
+    the term — sub-linear memory, one extra exchange of the tf rows."""
     import math
 
-    import ray
-
     n_docs = ds.count()
+    if strategy == "auto":
+        df_ds = term_counts(ds, text_col, id_col).materialize()
+        strategy = ("broadcast"
+                    if (df_ds.count() <= vocab_broadcast_max
+                        and (df_ds.size_bytes() or 0)
+                        <= vocab_broadcast_max_bytes)
+                    else "join")
+    else:
+        df_ds = None
     if strategy == "join":
         from ..functions.join import bucketed_hash_join
 
-        df_ds = term_counts(ds, text_col, id_col) \
-            .drop_columns(["freq"]).materialize()
+        if df_ds is None:
+            df_ds = term_counts(ds, text_col, id_col).materialize()
+        dfj = df_ds.drop_columns(["freq"]).materialize()
         tf = _tf_rows(ds, text_col, id_col).materialize()
-        joined = bucketed_hash_join(tf, df_ds, "term", "term")
+        joined = bucketed_hash_join(tf, dfj, "term", "term")
 
         def score(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -143,11 +155,16 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return joined.map_batches(score, batch_format="pyarrow")
 
-    df_pdf = term_counts(ds, text_col, id_col).to_pandas()
-    df_ref = ray.put(dict(zip(df_pdf["term"], df_pdf["doc_freq"])))
+    # df dict built worker-side from the aggregate block refs (never
+    # through the driver), cached per worker
+    from .dedup import _build_dict, _cached_get, _worker_side
+
+    if df_ds is None:
+        df_ds = term_counts(ds, text_col, id_col).materialize()
+    df_ref = _worker_side(_build_dict, df_ds, "term", "doc_freq")
 
     def tfidf_fn(batch: pa.Table) -> pa.Table:
-        df_map = ray.get(df_ref)
+        df_map = _cached_get(df_ref)
         ids_out, terms_out, tf_out, score_out = [], [], [], []
         for doc_id, text in zip(batch.column(id_col).to_pylist(),
                                 batch.column(text_col).to_pylist()):
