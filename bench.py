@@ -227,8 +227,10 @@ def run_scaling() -> dict:
     return result
 
 
-def _record_baseline(result: dict) -> None:
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+def _record_baseline(result: dict, path: str | None = None) -> None:
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.md")
     marker = "## Measured scaling (bench.py --scaling)"
     lo, hi = result["cpus_lo"], result["cpus_hi"]
     block = (f"\n{marker}\n\n"
@@ -245,7 +247,15 @@ def _record_baseline(result: dict) -> None:
     try:
         text = open(path).read()
         if marker in text:
-            text = text[: text.index(marker)].rstrip("\n") + "\n" + block
+            # replace ONLY this section (marker -> next "## " heading or
+            # EOF) so narrative after it survives re-runs; an earlier
+            # truncate-to-EOF version of this writer silently deleted
+            # everything below the marker.
+            start = text.index(marker)
+            nxt = text.find("\n## ", start + len(marker))
+            tail = text[nxt + 1:] if nxt != -1 else ""
+            text = (text[:start].rstrip("\n") + "\n" + block
+                    + ("\n" + tail if tail else ""))
         else:
             text = text.rstrip("\n") + "\n" + block
         open(path, "w").write(text)

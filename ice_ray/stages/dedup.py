@@ -68,8 +68,12 @@ def _cached_get(ref):
     key = ref.hex()
     v = _GRAM_CACHE.get(key)
     if v is None:
-        if len(_GRAM_CACHE) > 4:
-            _GRAM_CACHE.clear()
+        # FIFO-evict the oldest entry (a composed pipeline like curate
+        # keeps several gated broadcast structures live per worker at
+        # once; clearing ALL on overflow thrashed back to per-batch
+        # re-deserialization). 8 entries × ≤512MB gate bounds the heap.
+        while len(_GRAM_CACHE) >= 8:
+            _GRAM_CACHE.pop(next(iter(_GRAM_CACHE)))
         v = ray.get(ref)
         _GRAM_CACHE[key] = v
     return v

@@ -101,3 +101,40 @@ def test_extract_strategies_on_empty_and_rowless_input(ray_session):
             out = extract_edges(ray.data.from_arrow(tbl),
                                 cfg=PipelineConfig(extract_strategy=strat))
             assert out.count() == 0, (strat, tbl.num_rows)
+
+
+def test_record_baseline_replaces_only_its_section(tmp_path):
+    """bench._record_baseline must replace ONLY the auto-written scaling
+    section: an earlier truncate-to-EOF version silently deleted every
+    narrative section below the marker (bit us in round 5)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    p = tmp_path / "BASELINE.md"
+    p.write_text("# Title\n\nintro\n\n"
+                 "## Measured scaling (bench.py --scaling)\n\nold row\n\n"
+                 "## Afterword\n\nkeep me\n")
+    res = {"cpus_lo": 4, "cpus_hi": 16, "turns": 8, "sec_lo": 2.0,
+           "sec_hi": 0.6, "turns_per_sec_lo": 4.0, "turns_per_sec_hi": 13.3,
+           "value": 0.833, "ceiling_efficiency": 0.9,
+           "efficiency_vs_ceiling": 0.926}
+    bench._record_baseline(res, path=str(p))
+    text = p.read_text()
+    assert text.count("## Measured scaling (bench.py --scaling)") == 1
+    assert "old row" not in text and "| 0.833 |" in text
+    assert "intro" in text
+    assert "## Afterword" in text and "keep me" in text
+    assert text.index("## Measured scaling") < text.index("## Afterword")
+
+    # idempotent: a second write still yields exactly one section
+    res2 = dict(res, value=0.7)
+    bench._record_baseline(res2, path=str(p))
+    text = p.read_text()
+    assert text.count("## Measured scaling (bench.py --scaling)") == 1
+    assert "| 0.7 |" in text and "| 0.833 |" not in text
+    assert "keep me" in text
