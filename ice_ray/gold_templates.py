@@ -558,14 +558,129 @@ def gold_annotations_template(n_turns: int = 500) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# Pinned for the name-term filter (nlp/lexicon.py's PRONOUNS is engine
+# code; the gold pins the six corpus pronouns by hand).
+ICE_TERM_PRONOUNS = frozenset({"he", "she", "they", "him", "her", "them"})
+
+
 def gold_ice_terms_template(n_turns: int = 1500) -> pd.DataFrame:
-    """Term candidates over the INDEPENDENT annotations (the noun-run /
-    name-term aggregation is the oracle's Counter re-derivation; tokens,
-    POS, mentions come from the template-grammar annotator)."""
-    from .oracle import gold_ice_terms
-    return gold_ice_terms(n_turns, anns=template_annotations(n_turns))
+    """Term candidates with an INDEPENDENT aggregation over the
+    template-grammar annotations: explicit index-scan run segmentation
+    and dict counting (the serial oracle uses a token-streaming Counter
+    loop).  TERM_STOPWORDS is shared DATA."""
+    from .config import TERM_STOPWORDS
+
+    freq: dict[str, int] = {}
+    doc_freq: dict[str, int] = {}
+    for _, _, ann in template_annotations(n_turns):
+        toks = ann["tokens"]          # (start, end, word, pos)
+        name_spans = [(a, b) for a, b, _hs, _he, _t, m in ann["mentions"]
+                      if m == "NAM"]
+        turn_terms: list[str] = []
+
+        # maximal runs of noun/adjective tokens, by index scan
+        qual = [p in ("NN", "NNS") or p.startswith("JJ")
+                for _s, _e, _w, p in toks]
+        i = 0
+        while i < len(toks):
+            if not qual[i]:
+                i += 1
+                continue
+            j = i
+            while j + 1 < len(toks) and qual[j + 1]:
+                j += 1
+            run_start = toks[i][0]
+            if not any(a <= run_start < b for a, b in name_spans):
+                for k in range(j, i - 1, -1):
+                    w = toks[k][2]
+                    if len(w) <= 1 or w in TERM_STOPWORDS or w.startswith("'"):
+                        break
+                    turn_terms.append(
+                        " ".join(t[2] for t in toks[k:j + 1]) + "/nn")
+            i = j + 1
+
+        # name terms: first token at each NAM mention start
+        start_tok = {}
+        for t in reversed(toks):      # first-in-order wins
+            start_tok[t[0]] = t
+        for a, _b, _hs, _he, etype, m in ann["mentions"]:
+            if m != "NAM" or etype in ("NUMBER", "MONEY", "TIME"):
+                continue
+            t = start_tok.get(a)
+            if t is None or t[2].lower() in ICE_TERM_PRONOUNS:
+                continue
+            term = t[2].replace("_", " ") + "/nnp"
+            if len(term) > 5 and term[0].isalpha():
+                turn_terms.append(term)
+
+        for term in turn_terms:
+            freq[term] = freq.get(term, 0) + 1
+        for term in set(turn_terms):
+            doc_freq[term] = doc_freq.get(term, 0) + 1
+
+    return pd.DataFrame({"term": list(freq.keys()),
+                         "freq": list(freq.values()),
+                         "doc_freq": [doc_freq[t] for t in freq]})
 
 
-def gold_pmi_index_template(n_turns: int = 1500) -> pd.DataFrame:
-    from .oracle import gold_pmi_index
-    return gold_pmi_index(n_turns, anns=template_annotations(n_turns))
+# Hand-pinned stems for the CLOSED corpus vocabulary of dependency
+# context words (the non-noun endpoint of a dep attached to a noun).
+# Pinned from plain English, not from nlp/stemmer.py — if the engine's
+# stemmer ever drifts on these, test_gold_oracle's serial==template
+# cross-check fails loudly.  Identity-stem words are listed too so an
+# unexpected NEW vocabulary word raises instead of silently passing
+# through unstemmed.
+PINNED_CONTEXT_STEMS = {
+    "approved": "approve",
+    "discussed": "discuss",
+    "rejected": "reject",
+    "reviewed": "review",
+    "seized": "seize",
+    "report": "report",
+}
+
+
+def gold_pmi_index_template(n_turns: int = 1500,
+                            min_pmi: float = 0.1) -> pd.DataFrame:
+    """PMI index from the template-grammar annotations with its own
+    aggregation: pinned stem table (no nlp/stemmer.py), pandas marginal
+    joins (no Counter loops).  TERM_STOPWORDS is shared DATA (same
+    precedent as DEFAULT_EVENT_RULES in the events_decoded gold)."""
+    import numpy as np
+
+    from .config import TERM_STOPWORDS
+
+    def pin_stem(w: str) -> str:
+        try:
+            return PINNED_CONTEXT_STEMS[w]
+        except KeyError:
+            raise ValueError(
+                f"corpus grammar drifted: context word {w!r} has no pinned "
+                f"stem — extend PINNED_CONTEXT_STEMS by hand") from None
+
+    pairs: list[tuple[str, str]] = []
+    for _, _, ann in template_annotations(n_turns):
+        noun_at = {t[0]: t[2] for t in ann["tokens"]
+                   if t[3] in ("NN", "NNS") and len(t[2]) > 1
+                   and t[2].lower() not in TERM_STOPWORDS}
+        for label, sw, sp, _spos, tw, tp, _tpos in ann["deps"]:
+            tgt_noun = noun_at.get(tp)
+            if tgt_noun is not None and sw.lower() not in TERM_STOPWORDS:
+                pairs.append((tgt_noun.lower(),
+                              f"{label}-1_{pin_stem(sw.lower())}"))
+            src_noun = noun_at.get(sp)
+            if src_noun is not None and tw.lower() not in TERM_STOPWORDS:
+                pairs.append((src_noun.lower(),
+                              f"{label}_{pin_stem(tw.lower())}"))
+
+    cells = (pd.DataFrame(pairs, columns=["term", "ctx"])
+             .groupby(["term", "ctx"]).size().rename("n").reset_index())
+    cells = cells.merge(cells.groupby("term")["n"].sum().rename("row_sum"),
+                        on="term")
+    cells = cells.merge(cells.groupby("ctx")["n"].sum().rename("col_sum"),
+                        on="ctx")
+    n_total = cells["n"].sum()
+    pmi = np.log(cells["n"] * n_total / (cells["row_sum"] * cells["col_sum"]))
+    cells["pmi"] = [round(float(v), 6) for v in pmi]
+    out = cells.loc[cells["pmi"] > min_pmi, ["term", "ctx", "pmi"]]
+    return out.reset_index(drop=True)
