@@ -662,9 +662,12 @@ def _q_embedding_neardup(sf_dir: str):
 
     def bump(t: pa.Table) -> pa.Table:
         i = t.schema.get_field_index("vec_id")
+        # cast back to the fixture's own id type so union() sees one
+        # schema even when vec_id isn't int64 (mirrors plant_neardup_rows)
+        bumped = pc.add(pc.cast(t.column("vec_id"), pa.int64()),
+                        PLANT_DUP_ID_OFFSET)
         return t.set_column(i, "vec_id",
-                            pc.add(pc.cast(t.column("vec_id"), pa.int64()),
-                                   PLANT_DUP_ID_OFFSET))
+                            pc.cast(bumped, t.schema.field(i).type))
 
     dups = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet",

@@ -35,6 +35,7 @@ def build_repr_map(path_counts, max_rows: int = 5_000_000) -> dict[str, str]:
     guarded: a corpus-shaped path vocabulary fails loudly at ``max_rows``
     instead of OOMing the driver — at that scale use the distributed
     decode joins / length-banded ReprIndex instead."""
+    path_counts = path_counts.materialize()  # count + iter read ONE execution
     n = path_counts.count()
     if n > max_rows:
         raise ValueError(

@@ -680,7 +680,10 @@ def gold_pmi_index_template(n_turns: int = 1500,
     cells = cells.merge(cells.groupby("ctx")["n"].sum().rename("col_sum"),
                         on="ctx")
     n_total = cells["n"].sum()
-    pmi = np.log(cells["n"] * n_total / (cells["row_sum"] * cells["col_sum"]))
+    # same op order as the engine (entity_index.py cell()) and the serial
+    # gold — n/rs/(cs/N) — and filter on the UNROUNDED value: rounding
+    # first would drop/keep threshold-boundary rows differently from both
+    pmi = np.log(cells["n"] / cells["row_sum"] / (cells["col_sum"] / n_total))
     cells["pmi"] = [round(float(v), 6) for v in pmi]
-    out = cells.loc[cells["pmi"] > min_pmi, ["term", "ctx", "pmi"]]
+    out = cells.loc[pmi > min_pmi, ["term", "ctx", "pmi"]]
     return out.reset_index(drop=True)

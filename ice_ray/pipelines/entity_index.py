@@ -163,6 +163,7 @@ def load_index_as_dict(index_ds,
     entityset/EntitySetExpander.java:219-249).  Driver-resident by
     design, but guarded: a corpus-shaped term vocabulary fails loudly at
     ``max_rows`` instead of OOMing the driver."""
+    index_ds = index_ds.materialize()  # count + iter read ONE execution
     n = index_ds.count()
     if n > max_rows:
         raise ValueError(

@@ -594,9 +594,16 @@ def neardup_clusters_distributed(pairs_ds, max_rounds: int = 50,
         batch_format="pyarrow").materialize()
     n_edges = raw.count()
     if strategy == "auto":
-        strategy = ("local" if (n_edges <= local_max_edges
-                                and (raw.size_bytes() or 0) <= local_max_bytes)
-                    else "join")
+        if (n_edges <= local_max_edges
+                and (raw.size_bytes() or 0) <= local_max_bytes):
+            strategy = "local"
+        else:
+            # node-bounded middle tier: duplicate-heavy corpora can blow
+            # the EDGE-table gate while the label map still fits a worker
+            # (one map-side lookup per round beats two bucketed self-joins);
+            # the labels.count() gate below demotes to "join" when the
+            # node count exceeds broadcast_max_nodes
+            strategy = "broadcast"
 
     if strategy == "local":
         ref = _worker_side(_cc_local_task, raw)
@@ -792,7 +799,9 @@ class SimHasher:
             v[nonempty] = np.add.reduceat(signed, starts[nonempty],
                                           axis=0, dtype=np.int32)
         packed = np.packbits((v > 0).astype(np.uint8), axis=1)
-        return packed.view(np.uint64).reshape(-1)      # little-endian host
+        # explicit little-endian view: matches the scalar form's
+        # int.from_bytes(..., 'little') on any host byte order
+        return packed.view(np.dtype("<u8")).reshape(-1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")

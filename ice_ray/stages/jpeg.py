@@ -173,6 +173,12 @@ def _decode_jpeg(buf: bytes) -> np.ndarray | None:
     while i + 4 <= n:
         if buf[i] != 0xFF:
             return None
+        # spec-legal padding (B.1.1.2): a run of 0xFF fill bytes may
+        # precede the marker id — skip to the last 0xFF of the run
+        while i + 4 <= n and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            return None
         marker = buf[i + 1]
         if marker == 0xD9:          # EOI before SOS
             return None

@@ -121,23 +121,22 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     import math
 
     n_docs = ds.count()
+    # both strategies only consume (term, doc_freq) — prune freq BEFORE
+    # the single materialize so the byte gate measures what actually
+    # ships (and the join path doesn't re-materialize a second copy)
+    df_ds = (term_counts(ds, text_col, id_col)
+             .select_columns(["term", "doc_freq"]).materialize())
     if strategy == "auto":
-        df_ds = term_counts(ds, text_col, id_col).materialize()
         strategy = ("broadcast"
                     if (df_ds.count() <= vocab_broadcast_max
                         and (df_ds.size_bytes() or 0)
                         <= vocab_broadcast_max_bytes)
                     else "join")
-    else:
-        df_ds = None
     if strategy == "join":
         from ..functions.join import bucketed_hash_join
 
-        if df_ds is None:
-            df_ds = term_counts(ds, text_col, id_col).materialize()
-        dfj = df_ds.drop_columns(["freq"]).materialize()
         tf = _tf_rows(ds, text_col, id_col).materialize()
-        joined = bucketed_hash_join(tf, dfj, "term", "term")
+        joined = bucketed_hash_join(tf, df_ds, "term", "term")
 
         def score(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -159,8 +158,6 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     # through the driver), cached per worker
     from .dedup import _build_dict, _cached_get, _worker_side
 
-    if df_ds is None:
-        df_ds = term_counts(ds, text_col, id_col).materialize()
     df_ref = _worker_side(_build_dict, df_ds, "term", "doc_freq")
 
     def tfidf_fn(batch: pa.Table) -> pa.Table:
