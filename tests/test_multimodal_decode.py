@@ -465,6 +465,31 @@ def test_progressive_jpeg_ff_fill_padding():
     assert np.array_equal(decode_jpeg(padded), base)
 
 
+def test_baseline_jpeg_header_ff_fill_padding():
+    """Same B.1.1.2 fill padding in the HEADER marker loop (between SOI
+    and SOS) — the shared _decode_jpeg loop must skip fill bytes instead
+    of parsing them as a segment length (r5 review parity with the
+    progressive inter-scan fix)."""
+    import numpy as np
+
+    from ice_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.stack([(yy * 9) % 256, (xx * 13) % 256,
+                    (yy + xx) % 256], axis=2).astype(np.uint8)
+    good = encode_jpeg(img)
+    base = decode_jpeg(good)
+    assert base is not None
+    # pad immediately after SOI, before the first header segment
+    assert np.array_equal(decode_jpeg(good[:2] + b"\xff" * 3 + good[2:]),
+                          base)
+    # pad before DQT mid-header
+    dqt = good.find(b"\xff\xdb")
+    assert dqt > 0
+    assert np.array_equal(decode_jpeg(good[:dqt] + b"\xff" * 2 + good[dqt:]),
+                          base)
+
+
 # ---------------------------------------------------------------- video
 
 def test_mjpeg_avi_roundtrip_and_frame_sampling(ray_session):

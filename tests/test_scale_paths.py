@@ -65,6 +65,42 @@ def test_distributed_cc_chain_converges_in_olog_rounds(ray_session):
         assert all(lab[i] == n for i in range(n, 2 * n)), strat
 
 
+def test_cc_auto_selects_broadcast_middle_tier(ray_session, monkeypatch):
+    """auto must use the node-bounded broadcast tier when the EDGE table
+    overflows the local gate but the label map still fits a worker —
+    and demote to join only past broadcast_max_nodes (r5 review: the
+    middle tier was dead for auto callers)."""
+    import ice_ray.stages.dedup as dd
+
+    calls: list[str] = []
+    orig = dd._worker_side
+
+    def spy(fn, ds, *args):
+        calls.append(fn.__name__)
+        return orig(fn, ds, *args)
+
+    monkeypatch.setattr(dd, "_worker_side", spy)
+    pairs_pdf = pd.DataFrame({
+        "id1": np.arange(0, 99, dtype=np.int64),
+        "id2": np.arange(1, 100, dtype=np.int64),
+        "est_jaccard": np.full(99, 0.9)})
+
+    got = dd.neardup_clusters_distributed(
+        ray.data.from_pandas(pairs_pdf), strategy="auto",
+        local_max_edges=10, local_max_bytes=1).to_pandas()
+    assert "_build_root_map" in calls          # broadcast tier ran
+    assert "_cc_local_task" not in calls
+    assert dict(zip(got["doc_id"], got["cluster"])) == {i: 0 for i in range(100)}
+
+    calls.clear()
+    got2 = dd.neardup_clusters_distributed(
+        ray.data.from_pandas(pairs_pdf), strategy="auto",
+        local_max_edges=10, local_max_bytes=1,
+        broadcast_max_nodes=10).to_pandas()
+    assert "_build_root_map" not in calls      # demoted to join
+    assert dict(zip(got2["doc_id"], got2["cluster"])) == {i: 0 for i in range(100)}
+
+
 def test_attach_background_counts_join_equals_broadcast(ray_session):
     """The ratio/PMI scorers' shared background attach: the bucketed-join
     scale path (forced) must be row-identical to the gated broadcast —
