@@ -34,6 +34,8 @@ def _block_key_counts(key: str, table):
     """Per-block key histogram for detect_salt: top-64 value counts +
     row total — a tiny result, so sampled blocks never reach the
     driver whole."""
+    from .blocks import ensure_arrow_block
+    table = ensure_arrow_block(table)
     if table.num_rows == 0 or key not in table.column_names:
         return [], 0
     vc = table.column(key).value_counts()

@@ -113,6 +113,9 @@ def _build_rows_pdf(*tables):
     distinct-text extraction blocks — built in a Ray task, never on the
     driver.  The emit scan joins against it per batch."""
     import pandas as pd
+
+    from ..functions.blocks import ensure_arrow_block
+    tables = [ensure_arrow_block(t) for t in tables]
     parts = [t.rename_columns(
                 ["text" if c == "conv_id" else c for c in t.column_names])
              .select(["text"] + _EDGE_COLS).to_pandas()

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.blocks import ensure_arrow_block
+
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 MAX_BUCKET = 64  # cap on pairs per LSH bucket; beyond this the bucket is
@@ -37,7 +39,7 @@ _GRAM_CACHE: dict = {}
 
 def _build_dict(key_col: str, val_col: str, *tables) -> dict:
     out: dict = {}
-    for t in tables:
+    for t in map(ensure_arrow_block, tables):
         if key_col not in t.column_names:   # empty shuffle parts
             continue
         out.update(zip(t.column(key_col).to_pylist(),
@@ -47,7 +49,7 @@ def _build_dict(key_col: str, val_col: str, *tables) -> dict:
 
 def _build_frozenset(col: str, *tables) -> frozenset:
     out: set = set()
-    for t in tables:
+    for t in map(ensure_arrow_block, tables):
         if col not in t.column_names:       # empty shuffle parts
             continue
         out.update(t.column(col).to_pylist())
@@ -477,7 +479,7 @@ def _cc_local_task(*tables) -> pa.Table:
     path: the edge list never lands on the driver, and the kernel is the
     vectorized pointer-doubling `_cc_numpy`)."""
     e1s, e2s = [], []
-    for t in tables:
+    for t in map(ensure_arrow_block, tables):
         if "id1" not in t.column_names:     # empty shuffle parts
             continue
         e1s.append(t.column("id1").to_numpy(zero_copy_only=False)
@@ -500,7 +502,7 @@ def _build_root_map(key_col: str, val_col: str, *tables):
     propagation round a star contraction: O(log n) rounds total instead
     of O(component diameter)."""
     ks, vs = [], []
-    for t in tables:
+    for t in map(ensure_arrow_block, tables):
         if key_col not in t.column_names:   # empty shuffle parts
             continue
         ks.append(t.column(key_col).to_numpy(zero_copy_only=False))
@@ -533,7 +535,7 @@ def _propagate_rootmap(batch: pa.Table, *, lab_ref) -> pa.Table:
 def _sum_col_task(col: str, *tables) -> int:
     import pyarrow.compute as pc
     s = 0
-    for t in tables:
+    for t in map(ensure_arrow_block, tables):
         if col in t.column_names and t.num_rows:
             s += pc.sum(t.column(col)).as_py() or 0
     return s

@@ -369,7 +369,9 @@ def _mention_index_task(conv_set, *tables):
     """Worker-side :class:`MentionIndex` build — the mention blocks and
     the finished index never visit the driver (the returned ref is fed
     straight to the rewrite stage's constructor)."""
-    tables = [t for t in tables if t.num_columns]  # empty shuffle parts
+    from ..functions.blocks import ensure_arrow_block
+    tables = [t for t in map(ensure_arrow_block, tables)
+              if t.num_columns]                    # empty shuffle parts
     t = pa.concat_tables(tables) if tables else None
     return MentionIndex.from_arrow(t, conv_set=conv_set)
 
@@ -772,7 +774,9 @@ def _finish_link_state_task(*tables):
     driver (no to_pandas pull, no driver finish, no ray.put) — that
     finish was ~3s of serial driver time per run at every cluster
     size."""
-    tables = [t for t in tables if t.num_columns]  # empty shuffle parts
+    from ..functions.blocks import ensure_arrow_block
+    tables = [t for t in map(ensure_arrow_block, tables)
+              if t.num_columns]                    # empty shuffle parts
     pdf = pa.concat_tables(tables).to_pandas() if tables \
         else pd.DataFrame()
     return _finish_link_state(pdf)

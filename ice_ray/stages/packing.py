@@ -53,13 +53,22 @@ def _with_ntokens(ds, text_col: str, id_col: str):
 
 
 @ray.remote
-def _block_sum(t: pa.Table) -> int:
+def _block_sum(t: pa.Table) -> tuple[int, bool]:
+    """→ (Σ n_tokens, usable?) — usable is False for the empty
+    passthrough blocks to_arrow_refs can leak (see functions/blocks.py)."""
     import pyarrow.compute as pc
-    return int(pc.sum(t.column("n_tokens")).as_py() or 0)
+
+    from ..functions.blocks import ensure_arrow_block
+    t = ensure_arrow_block(t)
+    if "n_tokens" not in t.column_names:
+        return 0, False
+    return int(pc.sum(t.column("n_tokens")).as_py() or 0), True
 
 
 @ray.remote
 def _assign_seqs(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    from ..functions.blocks import ensure_arrow_block
+    t = ensure_arrow_block(t)
     n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
     cum_excl = offset + np.cumsum(n) - n
     return t.append_column("seq_id", pa.array(cum_excl // budget, pa.int64()))
@@ -74,7 +83,11 @@ def pack_sequences(docs, budget: int = 2048, text_col: str = "text",
     refs = slim.to_arrow_refs()   # block order == sort order (range parts)
     if not refs:
         return slim
-    sums = ray.get([_block_sum.remote(r) for r in refs])
+    meta = ray.get([_block_sum.remote(r) for r in refs])
+    refs = [r for r, (_, ok) in zip(refs, meta) if ok]  # drop leaked empties
+    sums = [s for s, ok in meta if ok]
+    if not refs:
+        return slim
     offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
     out_refs = [_assign_seqs.remote(r, int(off), budget)
                 for r, off in zip(refs, offsets)]

@@ -65,6 +65,45 @@ def test_distributed_cc_chain_converges_in_olog_rounds(ray_session):
         assert all(lab[i] == n for i in range(n, 2 * n)), strat
 
 
+def test_block_consumers_tolerate_leaked_pandas_blocks(ray_session):
+    """to_arrow_refs()' zero-copy path can hand consumer tasks a raw
+    PANDAS block: Ray skips the UDF on empty blocks, so an empty frame
+    emitted by a map_groups(batch_format='pandas') stage sails through
+    an Arrow map_batches unconverted (observed on the MinHash pair
+    table at sf0.01/32cpus — broke curate_keep).  Every block consumer
+    must coerce (functions/blocks.ensure_arrow_block)."""
+    import pyarrow as pa
+
+    import ice_ray.stages.dedup as dd
+
+    # direct: a DataFrame block among the refs
+    out = dd._cc_local_task(pd.DataFrame(),
+                            pa.table({"id1": pa.array([1], pa.int64()),
+                                      "id2": pa.array([2], pa.int64())}))
+    assert dict(zip(out.column("doc_id").to_pylist(),
+                    out.column("cluster").to_pylist())) == {1: 1, 2: 1}
+    assert dd._build_dict("k", "v", pd.DataFrame(),
+                          pa.table({"k": ["a"], "v": [1]})) == {"a": 1}
+    assert dd._build_frozenset("k", pd.DataFrame(),
+                               pa.table({"k": ["a"]})) == {"a"}
+    assert dd._sum_col_task("v", pd.DataFrame(),
+                            pa.table({"v": [2, 3]})) == 5
+
+    # end-to-end: an empty pandas group output upstream of the CC local
+    # tier (the exact observed shape)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"g": [0, 0, 1], "id1": [1, 2, 3], "id2": [2, 3, 4]}))
+
+    def gp(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop(columns="g")
+        return out if df["g"].iat[0] == 0 else out.head(0)
+
+    pairs = ds.groupby("g").map_groups(gp, batch_format="pandas")
+    got = dd.neardup_clusters_distributed(pairs, strategy="local").to_pandas()
+    # group 1's edge (3,4) is dropped by the empty-frame group
+    assert dict(zip(got["doc_id"], got["cluster"])) == {1: 1, 2: 1, 3: 1}
+
+
 def test_cc_auto_selects_broadcast_middle_tier(ray_session, monkeypatch):
     """auto must use the node-bounded broadcast tier when the EDGE table
     overflows the local gate but the label map still fits a worker —
