@@ -269,64 +269,17 @@ def _q_events_last_order(sf_dir: str):
 
 def _q_term_pmi(sf_dir: str):
     """PMI of adjacent-token (term, ctx) pairs — the two-stage PMI
-    computation of G6 (EntitySetIndexer.java:297-343): partial pair counts
-    → groupby sums → gated marginal attach → per-row transform."""
-    from collections import Counter
+    computation of G6 (EntitySetIndexer.java:297-343): vectorized pair
+    partials → bucketed aggregate → gated marginal attach (one-task
+    broadcast under the gate, bucketed exchange above it) — see
+    stages/textstats.adjacent_pair_pmi."""
+    import ray.data
 
-    import pyarrow as pa
+    from ice_ray.stages.textstats import adjacent_pair_pmi
 
-    import re
-    word = re.compile(r"[a-z]+")
-
-    def pair_partials(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch.column("text").to_pylist():
-            toks = word.findall((text or "").lower())
-            c.update(zip(toks, toks[1:]))
-        ks = list(c.keys())
-        return pa.table({
-            "term": pa.array([k[0] for k in ks], pa.string()),
-            "ctx": pa.array([k[1] for k in ks], pa.string()),
-            "n": pa.array([c[k] for k in ks], pa.int64()),
-        })
-
-    from ice_ray.functions.shuffle import grouped_aggregate
-
-    pairs = grouped_aggregate(
-        _docs(sf_dir).map_batches(pair_partials, batch_format="pyarrow"),
-        keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
-    ).materialize()
-    # marginals attached via the gated broadcast / bucketed-join shape —
-    # the vocabulary-shaped rowsum/colsum tables never land as un-gated
-    # driver dicts (r4 hot-path audit item 2); total via a block-ref task
-    import numpy as np
-
-    from ice_ray.functions.join import attach_background_counts
-    from ice_ray.stages.dedup import _dataset_sum
-
-    rs = grouped_aggregate(pairs, keys=["term"], specs=[("n", "sum")],
-                           rename={"n_sum": "rs"})
-    cs = grouped_aggregate(pairs, keys=["ctx"], specs=[("n", "sum")],
-                           rename={"n_sum": "cs"})
-    n_total = _dataset_sum(pairs, "n")
-    with_rs = attach_background_counts(pairs, rs, key="term",
-                                       count_col="rs", out_col="_rs")
-    with_cs = attach_background_counts(with_rs, cs, key="ctx",
-                                       count_col="cs", out_col="_cs")
-
-    def pmi_fn(batch: pa.Table) -> pa.Table:
-        n = batch.column("n").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        r = batch.column("_rs").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        c = batch.column("_cs").to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        # same op order as the scalar form: n / rs / (cs / N)
-        pmi = np.round(np.log(n / r / (c / float(n_total))), 6)
-        return (batch.drop_columns(["_rs", "_cs"])
-                .append_column("pmi", pa.array(pmi, pa.float64())))
-
-    return with_cs.map_batches(pmi_fn, batch_format="pyarrow")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return adjacent_pair_pmi(docs)
 
 
 # --- transcript/KG operators (rows-only driver check; the P/R harness in

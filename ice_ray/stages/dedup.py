@@ -143,14 +143,75 @@ class MinHasher:
         h = self.a[:, None] * sh[None, :] + self.b[:, None]
         return h.min(axis=1)
 
+    def _shingle_hashes_flat(self, col):
+        """Vectorized batch shingling: flat tokenization, k-token shingle
+        strings via Arrow element-wise join (exactly ``" ".join(toks[i:
+        i+k])``), crc32 once per DISTINCT shingle string (dictionary-
+        encoded), scattered back.  Rows with fewer than k tokens take
+        the scalar ``_shingles`` pad path (they emit exactly one padded
+        shingle).  Returns ``(hashes uint64, row_ids)`` sorted by row."""
+        import pyarrow.compute as pc
+
+        from .textstats import flat_tokens
+
+        toks, rows = flat_tokens(col)
+        n_rows = len(col)
+        tok_counts = np.bincount(rows, minlength=n_rows)
+        parts_hashes = []
+        parts_rows = []
+        if len(toks) >= self.k:
+            width = len(toks) - self.k + 1
+            same = rows[self.k - 1:] == rows[:width]
+            if same.any():
+                slices = [toks.slice(i, width) for i in range(self.k)]
+                sh_strs = pc.binary_join_element_wise(*slices, " ") \
+                    .filter(pa.array(same))
+                dict_enc = pc.dictionary_encode(sh_strs)
+                if isinstance(dict_enc, pa.ChunkedArray):
+                    dict_enc = dict_enc.combine_chunks()
+                uniq = dict_enc.dictionary.to_pylist()
+                uh = np.fromiter((zlib.crc32(s.encode()) for s in uniq),
+                                 dtype=np.uint64, count=len(uniq))
+                parts_hashes.append(uh[dict_enc.indices.to_numpy()])
+                parts_rows.append(rows[:width][same])
+        short = np.flatnonzero(tok_counts < self.k)
+        if len(short):
+            texts = col.take(pa.array(short)).to_pylist()
+            parts_hashes.append(np.array(
+                [_shingles(t, self.k)[0] for t in texts], dtype=np.uint64))
+            parts_rows.append(short.astype(np.int64))
+        if not parts_hashes:
+            return np.array([], np.uint64), np.array([], np.int64)
+        hashes = np.concatenate(parts_hashes)
+        rids = np.concatenate(parts_rows)
+        order = np.argsort(rids, kind="stable")
+        return hashes[order], rids[order]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """doc batch → one (doc_id, sig) row per doc (signatures computed
-        once; band rows are derived from sigs by a separate cheap map)."""
+        once; band rows are derived from sigs by a separate cheap map).
+        Batch-vectorized: one flat shingling pass, then per-permutation
+        multiply-shift + ``minimum.reduceat`` over doc segments —
+        bit-identical to the scalar ``signature`` form."""
         import pyarrow.compute as pc
-        sigs = [self.signature(t).tobytes()
-                for t in batch.column("text").to_pylist()]
+        col = batch.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.binary())})
+        sh, rids = self._shingle_hashes_flat(col)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # every row emits ≥ 1 shingle (short rows pad), so segment
+        # starts cover all n rows
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(rids)) + 1))
+        for p in range(self.num_perm):
+            h = self.a[p] * sh + self.b[p]      # uint64 wraparound hash
+            sigs[:, p] = np.minimum.reduceat(h, starts)
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
         return pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
-                         "sig": pa.array(sigs, pa.binary())})
+                         "sig": pa.array(sig_bytes, pa.binary())})
 
 
 def _make_crc32_table() -> np.ndarray:
@@ -832,6 +893,33 @@ def _doc_gram_set(text: str, n: int) -> set:
     return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
 
 
+def _gram_rows_vec(batch: pa.Table, n: int, text_col: str):
+    """Vectorized word n-gram explode — the batch form of
+    :func:`_doc_gram_set`: one space-split + flatten, n-gram strings
+    from ``n`` shifted slices joined element-wise in Arrow, adjacency
+    masked to stay within one row, then DISTINCT (row, gram) via one
+    group.  Returns ``(row_ids, grams)`` with row_ids into the batch."""
+    import pyarrow.compute as pc
+
+    from .textstats import _space_tokens
+
+    empty = (np.array([], np.int64), pa.array([], pa.string()))
+    flat, rows, _ = _space_tokens(batch.column(text_col))
+    if len(flat) < n:
+        return empty
+    width = len(flat) - n + 1
+    same = rows[n - 1:] == rows[:width]
+    if not same.any():
+        return empty
+    parts = [flat.slice(i, width) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    sel = pa.array(same)
+    t = (pa.table({"_r": pa.array(rows[:width][same], pa.int64()),
+                   "gram": grams.filter(sel)})
+         .group_by(["_r", "gram"]).aggregate([]))
+    return t.column("_r").to_numpy(), t.column("gram")
+
+
 def decontaminate(docs, n: int = 8, bench_mod: int = 50,
                   text_col: str = "text",
                   strategy: str = "broadcast",
@@ -874,10 +962,9 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
                              fn_kwargs={"want_bench": False})
 
     def bench_grams(batch: pa.Table) -> pa.Table:
-        out: set = set()
-        for text in batch.column(text_col).to_pylist():
-            out |= _doc_gram_set(text, n)
-        return pa.table({"gram": pa.array(list(out), pa.string())})
+        _, grams = _gram_rows_vec(batch, n, text_col)
+        return (pa.table({"gram": grams})
+                .group_by("gram").aggregate([]))   # distinct per batch
 
     bgrams_raw = None
     if strategy == "broadcast":
@@ -897,9 +984,14 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
 
             def score(batch: pa.Table) -> pa.Table:
                 bs = _cached_get(ref)
-                counts = [len(_doc_gram_set(t, n) & bs)
-                          for t in batch.column(text_col).to_pylist()]
-                arr = pa.array(counts, pa.int64())
+                rows, grams = _gram_rows_vec(batch, n, text_col)
+                # gram extraction is vectorized; membership is a tight
+                # C-level set probe per DISTINCT (doc, gram) pair
+                hit = np.fromiter((g in bs for g in grams.to_pylist()),
+                                  dtype=bool, count=len(rows))
+                counts = np.bincount(rows[hit],
+                                     minlength=batch.num_rows)
+                arr = pa.array(counts.astype(np.int64), pa.int64())
                 return pa.table({
                     "doc_id": batch.column("doc_id"),
                     "contaminated_grams": arr,
@@ -922,14 +1014,10 @@ def decontaminate(docs, n: int = 8, bench_mod: int = 50,
         num_buckets=num_buckets).drop_columns(["gram_count"])
 
     def train_grams(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column(text_col).to_pylist()):
-            for g in _doc_gram_set(text, n):   # distinct per doc
-                ids.append(did)
-                grams.append(g)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+        rows, grams = _gram_rows_vec(batch, n, text_col)   # distinct/doc
+        ids = pc.cast(batch.column("doc_id"), pa.int64()) \
+            .take(pa.array(rows, pa.int64()))
+        return pa.table({"doc_id": ids, "gram": grams})
 
     hits = bucketed_hash_join(
         train.map_batches(train_grams, batch_format="pyarrow"),
@@ -984,14 +1072,10 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
         num_buckets = default_num_buckets()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for did, text in zip(batch.column("doc_id").to_pylist(),
-                             batch.column(text_col).to_pylist()):
-            for g in _doc_gram_set(text, n):   # distinct per doc
-                ids.append(did)
-                grams.append(g)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+        rows, grams = _gram_rows_vec(batch, n, text_col)   # distinct/doc
+        ids = pc.cast(batch.column("doc_id"), pa.int64()) \
+            .take(pa.array(rows, pa.int64()))
+        return pa.table({"doc_id": ids, "gram": grams})
 
     # three consumers (gram aggregate, join left side, total markers) —
     # materialize the explode once or it re-executes per consumer
@@ -1016,17 +1100,16 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
 
         def score(batch: pa.Table) -> pa.Table:
             ds_ = _cached_get(ref)
-            ids, tot, sh = [], [], []
-            for did, text in zip(batch.column("doc_id").to_pylist(),
-                                 batch.column(text_col).to_pylist()):
-                gs = _doc_gram_set(text, n)
-                if not gs:
-                    continue
-                ids.append(did)
-                tot.append(len(gs))
-                sh.append(len(gs & ds_))
-            tot_a = pa.array(tot, pa.int64())
-            sh_a = pa.array(sh, pa.int64())
+            rows, grams = _gram_rows_vec(batch, n, text_col)
+            tot = np.bincount(rows, minlength=batch.num_rows)
+            hit = np.fromiter((g in ds_ for g in grams.to_pylist()),
+                              dtype=bool, count=len(rows))
+            sh = np.bincount(rows[hit], minlength=batch.num_rows)
+            keep = tot > 0   # docs with < n words emit no grams
+            ids = pc.cast(batch.column("doc_id"), pa.int64()) \
+                .to_numpy(zero_copy_only=False)[keep]
+            tot_a = pa.array(tot[keep].astype(np.int64), pa.int64())
+            sh_a = pa.array(sh[keep].astype(np.int64), pa.int64())
             return pa.table({
                 "doc_id": pa.array(ids, pa.int64()),
                 "n_grams": tot_a,

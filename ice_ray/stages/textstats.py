@@ -2,8 +2,11 @@
 term counts (G4 analog with the reference's stoplist), quality scoring,
 language-ID heuristic, document fingerprinting.
 
-All stages are vectorized per batch (pandas str kernels / Counter over a
-batch) and pre-aggregate before any shuffle.  The simple-token variants
+All stages are vectorized per batch — tokenization is ONE RE2 split +
+flatten over the batch's text column (:func:`flat_tokens`), and every
+per-document statistic is an Arrow ``group_by`` / numpy ``bincount``
+over the flat (row_id, token) pairs, never a Python loop per document.
+Stages pre-aggregate before any shuffle.  The simple-token variants
 (lowercase ``[a-z]+`` tokens) are deliberately SQL-expressible so the
 DuckDB oracle can check them exactly (TermCounter semantics live in
 pipelines/terms.py over annotations instead).
@@ -13,14 +16,16 @@ from __future__ import annotations
 
 import hashlib
 import re
-from collections import Counter
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import TERM_STOPWORDS
 
 _WORD_RE = re.compile(r"[a-z]+")
 _WS_RE = re.compile(r"\s+")
+_STOP_ARR = pa.array(sorted(TERM_STOPWORDS), pa.string())
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 _LANG_PROFILES = {
@@ -31,24 +36,65 @@ _LANG_PROFILES = {
 }
 
 
+def flat_tokens(col, min_len: int = 1, drop_stopwords: bool = False):
+    """Vectorized ``[a-z]+`` tokenization of a string column — the batch
+    form of ``_WORD_RE.findall(text.lower())`` as one RE2 split +
+    flatten instead of a Python loop per document.  Returns ``(tokens,
+    row_ids)``: the flat token array and each token's source row index
+    (np.int64).  ``min_len`` / ``drop_stopwords`` apply the term filters
+    on the same mask so callers never re-loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(pc.fill_null(col, ""))
+    lists = pc.split_pattern_regex(lowered, "[^a-z]+")
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    # the split emits empty strings at run boundaries; min_len >= 1
+    # drops them, matching findall exactly
+    mask = pc.greater_equal(pc.utf8_length(flat), min_len)
+    if drop_stopwords:
+        mask = pc.and_(mask, pc.invert(pc.is_in(flat,
+                                                value_set=_STOP_ARR)))
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    return flat.filter(mask), row_ids[mask_np]
+
+
+def _space_tokens(col):
+    """Literal single-space split (the SQL ``string_split(text, ' ')``
+    tokenization of the repetition / n-gram kernels), flattened with
+    per-token source row ids.  Unlike :func:`flat_tokens` this KEEPS
+    empty tokens — ``"a  b".split(" ")`` has three elements."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.split_pattern(pc.fill_null(col, ""), " ")
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy().astype(np.int64)
+    row_ids = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return flat, row_ids, counts
+
+
 def term_count_partials(batch: pa.Table, text_col: str = "text",
                         id_col: str = "doc_id") -> pa.Table:
     """Per-batch combiner → (term, freq, doc_freq) partial rows.
     Term = lowercase alphabetic token, len > 1, not a stopword
     (TermCounter.java:36-45 stoplist).  Safe because one document is
-    wholly contained in one row."""
-    freq: Counter = Counter()
-    doc_freq: Counter = Counter()
-    for text in batch.column(text_col).to_pylist():
-        toks = [t for t in _WORD_RE.findall((text or "").lower())
-                if len(t) > 1 and t not in TERM_STOPWORDS]
-        freq.update(toks)
-        doc_freq.update(set(toks))
-    terms = list(freq.keys())
+    wholly contained in one row.  Vectorized: one flat tokenization,
+    one (row, term) group for tf, one term group for the partials."""
+    toks, rows = flat_tokens(batch.column(text_col), min_len=2,
+                             drop_stopwords=True)
+    if len(toks) == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "freq": pa.array([], pa.int64()),
+                         "doc_freq": pa.array([], pa.int64())})
+    per_doc = (pa.table({"_r": pa.array(rows, pa.int64()), "term": toks})
+               .group_by(["_r", "term"]).aggregate([("term", "count")]))
+    agg = per_doc.group_by("term").aggregate([("term_count", "sum"),
+                                              ("term_count", "count")])
     return pa.table({
-        "term": pa.array(terms, pa.string()),
-        "freq": pa.array([freq[t] for t in terms], pa.int64()),
-        "doc_freq": pa.array([doc_freq[t] for t in terms], pa.int64()),
+        "term": agg.column("term"),
+        "freq": pc.cast(agg.column("term_count_sum"), pa.int64()),
+        "doc_freq": pc.cast(agg.column("term_count_count"), pa.int64()),
     })
 
 
@@ -65,41 +111,74 @@ def term_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
                                      "doc_freq_sum": "doc_freq"})
 
 
+def adjacent_pair_counts(batch: pa.Table,
+                         text_col: str = "text") -> pa.Table:
+    """Per-batch (term, ctx, n) partial counts of ADJACENT token pairs
+    (the PMI co-occurrence rows of G6) — vectorized: flat tokenization,
+    adjacency = consecutive tokens with the same source row, one Arrow
+    group count."""
+    toks, rows = flat_tokens(batch.column(text_col))
+    if len(toks) < 2:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "ctx": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    same = pa.array(rows[1:] == rows[:-1])
+    t = pa.table({"term": toks.slice(0, len(toks) - 1).filter(same),
+                  "ctx": toks.slice(1).filter(same)})
+    agg = t.group_by(["term", "ctx"]).aggregate([("term", "count")])
+    return pa.table({"term": agg.column("term"),
+                     "ctx": agg.column("ctx"),
+                     "n": pc.cast(agg.column("term_count"), pa.int64())})
+
+
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-document token counting + quality signals: n_tokens,
-    n_stopwords, n_chars_norm (whitespace-collapsed length)."""
-    n_tokens, n_stop, n_chars = [], [], []
-    for text in batch.column(text_col).to_pylist():
-        toks = _WORD_RE.findall((text or "").lower())
-        n_tokens.append(len(toks))
-        n_stop.append(sum(1 for t in toks if t in TERM_STOPWORDS))
-        n_chars.append(len(_WS_RE.sub(" ", (text or "").strip())))
+    n_stopwords, n_chars_norm (whitespace-collapsed length).
+    Vectorized: token/stopword counts are bincounts over the flat
+    tokenization; the normalized length is two RE2 kernels."""
+    n = batch.num_rows
+    toks, rows = flat_tokens(batch.column(text_col))
+    n_tokens = np.bincount(rows, minlength=n)
+    stop_mask = pc.is_in(toks, value_set=_STOP_ARR) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(rows[stop_mask], minlength=n)
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(col, "")), r"\s+", " ")
+    n_chars = pc.utf8_length(norm).to_numpy(zero_copy_only=False)
     return (batch.select([c for c in (batch.column_names) if c in ("doc_id", "conv_id", "turn_idx")])
             .append_column("n_tokens", pa.array(n_tokens, pa.int64()))
             .append_column("n_stopwords", pa.array(n_stop, pa.int64()))
-            .append_column("n_chars_norm", pa.array(n_chars, pa.int64())))
+            .append_column("n_chars_norm",
+                           pa.array(n_chars.astype(np.int64), pa.int64())))
+
+
+def _tf_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Vectorized per-(doc, term) raw term-frequency rows for one batch:
+    flat tokenization + one (row, term) group count; row indices map
+    back to doc ids with a take."""
+    toks, rows = flat_tokens(batch.column(text_col), min_len=2,
+                             drop_stopwords=True)
+    if len(toks) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    per_doc = (pa.table({"_r": pa.array(rows, pa.int64()), "term": toks})
+               .group_by(["_r", "term"]).aggregate([("term", "count")]))
+    ids = pc.cast(batch.column(id_col), pa.int64()) \
+        .take(per_doc.column("_r"))
+    return pa.table({id_col: ids, "term": per_doc.column("term"),
+                     "tf": pc.cast(per_doc.column("term_count"),
+                                   pa.int64())})
 
 
 def _tf_rows(ds, text_col: str, id_col: str):
     """Per-(doc, term) raw term-frequency rows."""
-    def tf_batch(batch: pa.Table) -> pa.Table:
-        ids_out, terms_out, tf_out = [], [], []
-        for doc_id, text in zip(batch.column(id_col).to_pylist(),
-                                batch.column(text_col).to_pylist()):
-            local: Counter = Counter(
-                t for t in _WORD_RE.findall((text or "").lower())
-                if len(t) > 1 and t not in TERM_STOPWORDS)
-            for t, tf in local.items():
-                ids_out.append(doc_id)
-                terms_out.append(t)
-                tf_out.append(tf)
-        return pa.table({
-            id_col: pa.array(ids_out, pa.int64()),
-            "term": pa.array(terms_out, pa.string()),
-            "tf": pa.array(tf_out, pa.int64()),
-        })
-
-    return ds.map_batches(tf_batch, batch_format="pyarrow")
+    return ds.map_batches(_tf_batch, batch_format="pyarrow",
+                          fn_kwargs={"text_col": text_col,
+                                     "id_col": id_col})
 
 
 def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -118,8 +197,6 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     ``strategy="join"`` (open-web vocabulary scale path, the ``auto``
     fallback): tf rows join the df table with a bucketed hash join on
     the term — sub-linear memory, one extra exchange of the tf rows."""
-    import math
-
     n_docs = ds.count()
     # both strategies only consume (term, doc_freq) — prune freq BEFORE
     # the single materialize so the byte gate measures what actually
@@ -161,24 +238,17 @@ def tfidf_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     df_ref = _worker_side(_build_dict, df_ds, "term", "doc_freq")
 
     def tfidf_fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
         df_map = _cached_get(df_ref)
-        ids_out, terms_out, tf_out, score_out = [], [], [], []
-        for doc_id, text in zip(batch.column(id_col).to_pylist(),
-                                batch.column(text_col).to_pylist()):
-            local: Counter = Counter(
-                t for t in _WORD_RE.findall((text or "").lower())
-                if len(t) > 1 and t not in TERM_STOPWORDS)
-            for t, tf in local.items():
-                ids_out.append(doc_id)
-                terms_out.append(t)
-                tf_out.append(tf)
-                score_out.append(round(tf * math.log(n_docs / df_map[t]), 6))
-        return pa.table({
-            id_col: pa.array(ids_out, pa.int64()),
-            "term": pa.array(terms_out, pa.string()),
-            "tf": pa.array(tf_out, pa.int64()),
-            "tfidf": pa.array(score_out, pa.float64()),
-        })
+        tf = _tf_batch(batch, text_col, id_col)
+        if tf.num_rows == 0:
+            return tf.append_column("tfidf", pa.array([], pa.float64()))
+        # dict probe at C speed per (doc, term) row; idf math vectorized
+        df_vals = (pd.Series(tf.column("term").to_pandas())
+                   .map(df_map).to_numpy(dtype=np.float64))
+        score = np.round(tf.column("tf").to_numpy() *
+                         np.log(n_docs / df_vals), 6)
+        return tf.append_column("tfidf", pa.array(score, pa.float64()))
 
     return ds.map_batches(tfidf_fn, batch_format="pyarrow")
 
@@ -199,52 +269,84 @@ def bpe_token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / punctuation / stopword-ratio quality score in [0,1]."""
+    """Length / punctuation / stopword-ratio quality score in [0,1].
+    Vectorized: token/stopword counts from the flat tokenization,
+    punctuation count from one RE2 kernel (chars that are neither
+    alphanumeric nor whitespace), score arithmetic in numpy."""
+    n = batch.num_rows
     ids = batch.column("doc_id")
-    scores = []
-    for text in batch.column(text_col).to_pylist():
-        text = text or ""
-        toks = _WORD_RE.findall(text.lower())
-        if not toks:
-            scores.append(0.0)
-            continue
-        stop_ratio = sum(1 for t in toks if t in TERM_STOPWORDS) / len(toks)
-        punct_ratio = sum(1 for c in text if not c.isalnum() and not c.isspace()) / max(len(text), 1)
-        length_ok = 1.0 if 10 <= len(toks) <= 10000 else 0.5
-        score = length_ok * (1 - punct_ratio) * (0.5 + 0.5 * min(stop_ratio * 4, 1.0))
-        scores.append(round(score, 6))
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    toks, rows = flat_tokens(col)
+    n_toks = np.bincount(rows, minlength=n).astype(np.float64)
+    stop_mask = pc.is_in(toks, value_set=_STOP_ARR) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(rows[stop_mask], minlength=n).astype(np.float64)
+    n_punct = pc.count_substring_regex(col, r"[^0-9A-Za-z\s]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop_ratio = np.where(n_toks > 0, n_stop / n_toks, 0.0)
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
+    length_ok = np.where((n_toks >= 10) & (n_toks <= 10000), 1.0, 0.5)
+    score = np.round(length_ok * (1 - punct_ratio)
+                     * (0.5 + 0.5 * np.minimum(stop_ratio * 4, 1.0)), 6)
+    score = np.where(n_toks > 0, score, 0.0)
     return pa.table({"doc_id": ids,
-                     "quality": pa.array(scores, pa.float64())})
+                     "quality": pa.array(score, pa.float64())})
 
 
 class LangId:
     """Stopword-profile language ID (actor stage; profiles compiled once).
-    Returns the argmax profile or 'und' when nothing matches."""
+    Returns the argmax profile or 'und' when nothing matches.
+    Vectorized: one flat tokenization, a distinct (row, token) group,
+    then one ``is_in`` + bincount per profile; the scalar tie rule
+    (first lang in sorted order with the strictly-highest overlap) is
+    numpy argmax over the per-lang count matrix."""
 
     def __init__(self):
         self.profiles = _LANG_PROFILES
+        self.langs = sorted(_LANG_PROFILES)
+        self.prof_arrs = [pa.array(sorted(_LANG_PROFILES[lg]), pa.string())
+                          for lg in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch.column("text").to_pylist():
-            toks = set(_WORD_RE.findall((text or "").lower()))
-            best, best_n = "und", 0
-            for lang in sorted(self.profiles):
-                n = len(toks & self.profiles[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        n = batch.num_rows
+        toks, rows = flat_tokens(batch.column("text"))
+        if len(toks):
+            distinct = (pa.table({"_r": pa.array(rows, pa.int64()),
+                                  "tok": toks})
+                        .group_by(["_r", "tok"]).aggregate([]))
+            drows = distinct.column("_r").to_numpy()
+            dtoks = distinct.column("tok")
+            counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+            for j, arr in enumerate(self.prof_arrs):
+                m = pc.is_in(dtoks, value_set=arr) \
+                    .to_numpy(zero_copy_only=False)
+                counts[:, j] = np.bincount(drows[m], minlength=n)
+        else:
+            counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        best = counts.argmax(axis=1)   # first max ≡ the scalar tie rule
+        langs = np.asarray(self.langs, dtype=object)
+        preds = np.where(counts.max(axis=1) > 0, langs[best], "und")
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang_pred": pa.array(preds, pa.string())})
 
 
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic document fingerprint: md5 of the
-    lowercase/whitespace-collapsed text (SQL-checkable in DuckDB)."""
-    fps = []
-    for text in batch.column(text_col).to_pylist():
-        norm = _WS_RE.sub(" ", (text or "").lower().strip())
-        fps.append(hashlib.md5(norm.encode()).hexdigest())
+    lowercase/whitespace-collapsed text (SQL-checkable in DuckDB).
+    Normalization is vectorized RE2; only the md5 digest itself is a
+    per-row C call."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(col, ""))),
+        r"\s+", " ")
+    fps = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
     return pa.table({"doc_id": batch.column("doc_id"),
                      "fp": pa.array(fps, pa.string())})
 
@@ -257,15 +359,30 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     Tokens are literal single-space splits so the metric is
     reproducible in ANSI SQL (``string_split(text, ' ')``); the per-doc
     kernel is C-level set construction, same shape as quality_score."""
+    n = batch.num_rows
     ids = batch.column("doc_id")
-    n_words, dupw, dup2 = [], [], []
-    for text in batch.column(text_col).to_pylist():
-        w = (text or "").split(" ")
-        n = len(w)
-        n_words.append(n)
-        dupw.append(1.0 - len(set(w)) / n if n else 0.0)
-        dup2.append(1.0 - len(set(zip(w, w[1:]))) / (n - 1)
-                    if n > 1 else 0.0)
+    flat, rows, n_words = _space_tokens(batch.column(text_col))
+    # distinct words per doc: group (row, word), count rows per row id
+    dw = (pa.table({"_r": pa.array(rows, pa.int64()), "w": flat})
+          .group_by(["_r", "w"]).aggregate([]))
+    n_distinct = np.bincount(dw.column("_r").to_numpy(), minlength=n)
+    # distinct 2-grams per doc: adjacent (w[i], w[i+1]) pairs that stay
+    # within one doc (same row id), joined with a separator the corpus
+    # split can't produce, then the same distinct group
+    if len(flat) > 1:
+        same = rows[1:] == rows[:-1]
+        g = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1), flat.slice(1), "\x00")
+        gt = (pa.table({"_r": pa.array(rows[:-1][same], pa.int64()),
+                        "g": g.filter(pa.array(same))})
+              .group_by(["_r", "g"]).aggregate([]))
+        n_distinct2 = np.bincount(gt.column("_r").to_numpy(), minlength=n)
+    else:
+        n_distinct2 = np.zeros(n, dtype=np.int64)
+    nw = n_words.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dupw = np.where(n_words > 0, 1.0 - n_distinct / nw, 0.0)
+        dup2 = np.where(n_words > 1, 1.0 - n_distinct2 / (nw - 1), 0.0)
     return pa.table({
         "doc_id": ids,
         "n_words": pa.array(n_words, pa.int64()),
@@ -306,6 +423,111 @@ def pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def _build_pair_marginals(*tables):
+    """One-task marginal builder over the materialized pair blocks:
+    row sums per term, column sums per ctx, grand total — returned as
+    two plain dicts + an int (pair-vocabulary-bounded; only runs under
+    the caller's row+byte gate)."""
+    ts = [t for t in tables if t.num_rows]
+    if not ts:
+        return {}, {}, 0
+    allp = pa.concat_tables(ts)
+    rs = allp.group_by("term").aggregate([("n", "sum")])
+    cs = allp.group_by("ctx").aggregate([("n", "sum")])
+    total = pc.sum(allp.column("n")).as_py() or 0
+    return (dict(zip(rs.column("term").to_pylist(),
+                     rs.column("n_sum").to_pylist())),
+            dict(zip(cs.column("ctx").to_pylist(),
+                     cs.column("n_sum").to_pylist())),
+            int(total))
+
+
+def adjacent_pair_pmi(ds, text_col: str = "text", strategy: str = "auto",
+                      marginal_broadcast_max_rows: int = 20_000_000,
+                      marginal_broadcast_max_bytes: int = 512 << 20):
+    """PMI of adjacent-token (term, ctx) pairs — the two-stage PMI
+    computation of G6 (EntitySetIndexer.java:297-343): partial pair
+    counts → bucketed (term, ctx) aggregate → marginal attach → per-row
+    transform.
+
+    Marginal attach strategies:
+
+    - ``auto`` fast path: while the PAIR table (vocabulary-shaped, far
+      smaller than the corpus) fits the row+byte gate, both marginals
+      and the total are computed in ONE Ray task over the materialized
+      pair block refs (never on the driver) and broadcast; the PMI
+      finish is one fused map over the pairs — three fewer dataset
+      executions than the exchange path.
+    - above the gate (open-web pair vocabulary), two bucketed marginal
+      aggregates attach via the gated ``attach_background_counts``
+      (which itself degrades to a bucketed LEFT join at scale).
+
+    ``strategy`` ∈ {auto, broadcast, join}; broadcast/join force a path
+    (broadcast raises above the gate)."""
+    import ray
+
+    from ..functions.shuffle import grouped_aggregate
+
+    pairs = grouped_aggregate(
+        ds.map_batches(adjacent_pair_counts, batch_format="pyarrow",
+                       fn_kwargs={"text_col": text_col}),
+        keys=["term", "ctx"], specs=[("n", "sum")], rename={"n_sum": "n"},
+    ).materialize()
+
+    n_pairs = pairs.count()
+    fits = (n_pairs <= marginal_broadcast_max_rows
+            and (pairs.size_bytes() or 0) <= marginal_broadcast_max_bytes)
+    if strategy == "broadcast" and not fits:
+        raise ValueError("pair table exceeds the marginal broadcast gate")
+    if strategy in ("auto", "broadcast") and fits:
+        import pandas as pd
+
+        from .dedup import _cached_get, _worker_side
+
+        ref = _worker_side(_build_pair_marginals, pairs)
+
+        def pmi_fused(batch: pa.Table) -> pa.Table:
+            rs_map, cs_map, total = _cached_get(ref)
+            n = batch.column("n").to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            r = (pd.Series(batch.column("term").to_pandas())
+                 .map(rs_map).to_numpy(dtype=np.float64))
+            c = (pd.Series(batch.column("ctx").to_pandas())
+                 .map(cs_map).to_numpy(dtype=np.float64))
+            # same op order as the exchange path: n / rs / (cs / N)
+            pmi = np.round(np.log(n / r / (c / float(total))), 6)
+            return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+
+        return pairs.map_batches(pmi_fused, batch_format="pyarrow")
+
+    # exchange path: marginals as bucketed aggregates, gated attach
+    from ..functions.join import attach_background_counts
+    from .dedup import _dataset_sum
+
+    rs = grouped_aggregate(pairs, keys=["term"], specs=[("n", "sum")],
+                           rename={"n_sum": "rs"})
+    cs = grouped_aggregate(pairs, keys=["ctx"], specs=[("n", "sum")],
+                           rename={"n_sum": "cs"})
+    n_total = _dataset_sum(pairs, "n")
+    with_rs = attach_background_counts(pairs, rs, key="term",
+                                       count_col="rs", out_col="_rs")
+    with_cs = attach_background_counts(with_rs, cs, key="ctx",
+                                       count_col="cs", out_col="_cs")
+
+    def pmi_fn(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        r = batch.column("_rs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = batch.column("_cs").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pmi = np.round(np.log(n / r / (c / float(n_total))), 6)
+        return (batch.drop_columns(["_rs", "_cs"])
+                .append_column("pmi", pa.array(pmi, pa.float64())))
+
+    return with_cs.map_batches(pmi_fn, batch_format="pyarrow")
+
+
 def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
              strategy: str = "broadcast",
              vocab_broadcast_max: int = 20_000_000,
@@ -324,20 +546,17 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     per-doc aggregate (``strategy="join"`` — the open-web vocabulary
     path).  Token-less docs are excluded (mirrors the SQL GROUP BY).
     """
-    import math
-
-    import pyarrow.compute as pc
-
     import ray
 
     from ..functions.shuffle import grouped_aggregate
 
     def tok_counts(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for text in batch.column(text_col).to_pylist():
-            c.update(_WORD_RE.findall((text or "").lower()))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        toks, _ = flat_tokens(batch.column(text_col))
+        agg = (pa.table({"term": toks})
+               .group_by("term").aggregate([("term", "count")]))
+        return pa.table({"term": agg.column("term"),
+                         "n": pc.cast(agg.column("term_count"),
+                                      pa.int64())})
 
     counts = grouped_aggregate(
         ds.map_batches(tok_counts, batch_format="pyarrow"),
@@ -354,18 +573,30 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
         ref = _worker_side(_build_dict, counts, "term", "n")
 
         def score(batch: pa.Table) -> pa.Table:
+            import pandas as pd
             cmap = _cached_get(ref)
-            ids, scores = [], []
-            for did, text in zip(batch.column(id_col).to_pylist(),
-                                 batch.column(text_col).to_pylist()):
-                toks = _WORD_RE.findall((text or "").lower())
-                if not toks:
-                    continue
-                local: Counter = Counter(toks)
-                s = sum(tf * math.log((cmap[t] + 1) / denom)
-                        for t, tf in local.items())
-                ids.append(did)
-                scores.append(round(s / len(toks), 6))
+            n = batch.num_rows
+            toks, rows = flat_tokens(batch.column(text_col))
+            if len(toks) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "lm_score": pa.array([], pa.float64())})
+            # per-(doc, term) tf — keeps the scalar form's tf·log(...)
+            # op order so values round identically
+            per_doc = (pa.table({"_r": pa.array(rows, pa.int64()),
+                                 "term": toks})
+                       .group_by(["_r", "term"])
+                       .aggregate([("term", "count")]))
+            c = (pd.Series(per_doc.column("term").to_pandas())
+                 .map(cmap).to_numpy(dtype=np.float64))
+            tf = per_doc.column("term_count").to_numpy().astype(np.float64)
+            w = tf * np.log((c + 1) / denom)
+            r = per_doc.column("_r").to_numpy()
+            sums = np.bincount(r, weights=w, minlength=n)
+            lens = np.bincount(rows, minlength=n)
+            keep = lens > 0
+            ids = pc.cast(batch.column(id_col), pa.int64()) \
+                .to_numpy(zero_copy_only=False)[keep]
+            scores = np.round(sums[keep] / lens[keep], 6)
             return pa.table({id_col: pa.array(ids, pa.int64()),
                              "lm_score": pa.array(scores, pa.float64())})
 
@@ -375,17 +606,19 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     from ..functions.join import bucketed_hash_join
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for did, text in zip(batch.column(id_col).to_pylist(),
-                             batch.column(text_col).to_pylist()):
-            for t, tf in Counter(
-                    _WORD_RE.findall((text or "").lower())).items():
-                ids.append(did)
-                terms.append(t)
-                tfs.append(tf)
-        return pa.table({id_col: pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
+        toks, rows = flat_tokens(batch.column(text_col))
+        if len(toks) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        per_doc = (pa.table({"_r": pa.array(rows, pa.int64()),
+                             "term": toks})
+                   .group_by(["_r", "term"]).aggregate([("term", "count")]))
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .take(per_doc.column("_r"))
+        return pa.table({id_col: ids, "term": per_doc.column("term"),
+                         "tf": pc.cast(per_doc.column("term_count"),
+                                       pa.int64())})
 
     joined = bucketed_hash_join(
         ds.map_batches(tf_rows, batch_format="pyarrow"), counts,

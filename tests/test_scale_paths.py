@@ -164,6 +164,29 @@ def test_attach_background_counts_join_equals_broadcast(ray_session):
     assert m["t1"] == 0 and m["t2"] == 3   # miss → 0, hit → bg count
 
 
+def test_adjacent_pair_pmi_exchange_equals_fast_path(ray_session):
+    """adjacent_pair_pmi: the above-the-gate exchange path (bucketed
+    marginal aggregates + gated attach) must be value-identical to the
+    one-task broadcast fast path."""
+    from ice_ray.stages.textstats import adjacent_pair_pmi
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    outs = {}
+    for strat in ("broadcast", "join"):
+        got = adjacent_pair_pmi(docs, strategy=strat).to_pandas()
+        outs[strat] = got.sort_values(["term", "ctx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["broadcast"], outs["join"])
+    assert len(outs["join"]) > 0
+
+    # broadcast refuses above the gate instead of pulling an oversized
+    # marginal table
+    import pytest
+    with pytest.raises(ValueError):
+        adjacent_pair_pmi(docs, strategy="broadcast",
+                          marginal_broadcast_max_rows=1)
+
+
 def _clustered_vectors(n=2000, dim=64, n_clusters=16, noise=0.35, seed=3):
     """Deterministic clustered embeddings.  (The driver testdata's
     embeddings are ISOTROPIC — within-label cosine ≈ 0.02 — where no
