@@ -861,7 +861,14 @@ def _quality_spec(text: str) -> float:
     if not toks:
         return 0.0
     stop = sum(1 for t in toks if t in TERM_STOPWORDS)
-    punct = sum(1 for c in text if not c.isalnum() and not c.isspace())
+    # punctuation = codepoints outside ASCII alnum and outside the RE2
+    # \s class [\t\n\f\r ] — the metric is DEFINED on the RE2/ASCII
+    # classes (so a DuckDB regexp expression of it matches byte for
+    # byte); e.g. 'é' and '\v' count as punctuation, per the kernel's
+    # [^0-9A-Za-z\s] count_substring_regex.
+    punct = sum(1 for c in text
+                if not ("0" <= c <= "9" or "A" <= c <= "Z"
+                        or "a" <= c <= "z" or c in "\t\n\f\r "))
     stop_ratio = stop / len(toks)
     punct_ratio = punct / max(len(text), 1)
     length_ok = 1.0 if 10 <= len(toks) <= 10000 else 0.5

@@ -65,7 +65,8 @@ def test_independent_spec_implementations_agree_with_kernels():
     cases = ["", " ", "  ", "a  b", "it's", "IT'S", "don't've", "x\n\ny",
              "  'll", "a\tb", "...", " ... ", "word1 2word", "a \n b",
              "trailing   ", "\n", "mix'd42!!'s", "der der die und das ist",
-             "the and of to in is that", "¡hola! ¿qué? el la de que y"]
+             "the and of to in is that", "¡hola! ¿qué? el la de que y",
+             "a\x0bb", "tab\ttab\x0c", "naïve café — fin", "é", "¿?"]
     import numpy as np
     for t in cases:
         assert _bpe_count_scan(t) == len(_BPE_RE.findall(t)), repr(t)
