@@ -107,6 +107,26 @@ def _q_tfidf(sf_dir: str):
     return tfidf_scores(_docs(sf_dir))
 
 
+# fixed retrieval query for the BM25 oracle — terms present at every sf
+BM25_QUERY_TERMS = ["column", "join", "merge", "scan"]
+
+
+def _q_bm25(sf_dir: str):
+    """Okapi BM25 per-(doc, term) retrieval scoring against a fixed
+    query-term list (stages/textstats.py:bm25_scores — two projected
+    corpus passes, query-bounded df exchange, no corpus-wide shuffle)."""
+    from ice_ray.stages.textstats import bm25_scores
+    return bm25_scores(_docs(sf_dir), BM25_QUERY_TERMS)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-20 terms via two-pass sketch-candidates + recount
+    (stages/textstats.py:heavy_hitters — only candidate terms are
+    exchanged, never the full vocabulary)."""
+    from ice_ray.stages.textstats import heavy_hitters
+    return heavy_hitters(_docs(sf_dir), k=20)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL sketch distinct-count (mergeable-sketch aggregate pattern)."""
     import pandas as pd
@@ -780,6 +800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "lang_counts": _q_lang_counts,
         "tfidf": _q_tfidf,
+        "bm25": _q_bm25,
+        "heavy_hitters": _q_heavy_hitters,
         "approx_distinct_users": _q_approx_distinct_users,
         "events_hourly": _q_events_hourly,
         "sessions": _q_sessions,
@@ -928,6 +950,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.term, tf.tf,
                    round(tf.tf * ln(n.n / df.df), 6) AS tfidf
             FROM tf JOIN df USING (term), n
+        """,
+        # op tree mirrors bm25_scores exactly (single float expression
+        # over exact integers per row → bit-reproducible round(…, 6))
+        "bm25": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                             (SELECT count(*) FROM toks)::DOUBLE
+                             / (SELECT count(*) FROM documents) AS avgdl),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                   WHERE term IN ({", ".join(repr(t) for t in BM25_QUERY_TERMS)})
+                   GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+                   FROM tf GROUP BY term)
+            SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+                   round(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                         * ((tf.tf * (1.2 + 1.0))
+                            / (tf.tf + 1.2 * (1.0 - 0.75
+                                              + 0.75 * (dl.dl / stats.avgdl)))),
+                         6) AS bm25
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (term), stats
+        """,
+        "heavy_hitters": f"""
+            WITH toks AS (
+              SELECT unnest({_TOK}) AS term FROM documents)
+            SELECT term, count(*)::BIGINT AS freq FROM toks
+            GROUP BY term ORDER BY freq DESC, term LIMIT 20
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

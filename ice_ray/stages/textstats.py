@@ -642,3 +642,214 @@ def lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: batch.column(id_col), "lm_score": s})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_scores(ds, query_terms: list[str], k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id", per_doc: bool = False):
+    """Okapi BM25 retrieval scoring of the corpus against a bounded
+    query-term list — the ranking operator a training-data pipeline
+    uses to pull topical subsets out of a crawl (pair with
+    ``grouped_topk`` for per-query top-k).
+
+    Default output is one row per (document, matched term):
+    ``(doc_id, term, tf, dl, bm25)`` where ``bm25`` is that term's
+    contribution ``idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with the Robertson–Sparck-Jones smoothed idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``.  Per-row values are a single
+    float expression over exact integers, so they are bit-reproducible
+    against a SQL oracle; ``per_doc=True`` sums a document's term rows
+    into ``(doc_id, bm25)`` (float-sum order is then engine-defined —
+    compare with a tolerance, not a hash).
+
+    Scale shape (100-TB-safe): the query list is request-bounded
+    (≤ dozens of terms) and rides the task closure; the corpus streams
+    through TWO projected passes — a tiny per-batch ``(Σdl, #docs)``
+    partial for ``avgdl``/``N``, and a filtered tf/dl extraction whose
+    output is |docs containing a query term| rows (corpus-scale
+    reduction happens map-side; tf is final per batch because one
+    document is wholly contained in one row).  ``df`` per term is a
+    ≤|q|-row aggregate over the matched rows — the only exchange, and
+    it is query-bounded, not corpus-bounded.  Nothing corpus-shaped
+    ever lands on the driver."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    from ..functions.shuffle import grouped_aggregate
+
+    q_arr = pa.array(sorted(set(query_terms)), pa.string())
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        toks, _ = flat_tokens(batch.column(text_col))
+        return pa.table({"dl_sum": pa.array([len(toks)], pa.int64()),
+                         "docs": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(dl_partial, batch_format="pyarrow")
+    total_dl = int(parts.sum("dl_sum") or 0)
+    n_docs = int(parts.sum("docs") or 0)
+    if n_docs == 0:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64()),
+                          "bm25": pa.array([], pa.float64())})
+        import ray.data
+        return ray.data.from_arrow(empty)
+    avgdl = total_dl / n_docs      # exact-int / exact-int, as in SQL
+
+    def matched_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64()),
+                          "dl": pa.array([], pa.int64())})
+        toks, rows = flat_tokens(batch.column(text_col))
+        if len(toks) == 0:
+            return empty
+        dl = np.bincount(rows, minlength=batch.num_rows)
+        qmask = pc.is_in(toks, value_set=q_arr) \
+            .to_numpy(zero_copy_only=False)
+        if not qmask.any():
+            return empty
+        per = (pa.table({"_r": pa.array(rows[qmask], pa.int64()),
+                         "term": toks.filter(pa.array(qmask))})
+               .group_by(["_r", "term"]).aggregate([("term", "count")]))
+        r = per.column("_r").to_numpy()
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .take(per.column("_r"))
+        return pa.table({id_col: ids, "term": per.column("term"),
+                         "tf": pc.cast(per.column("term_count"), pa.int64()),
+                         "dl": pa.array(dl[r].astype(np.int64), pa.int64())})
+
+    matched = ds.map_batches(matched_rows,
+                             batch_format="pyarrow").materialize()
+    df_tbl = grouped_aggregate(matched.select_columns(["term"]),
+                               keys=["term"], specs=[("term", "count")],
+                               rename={"term_count": "df"})
+    # ≤ |query_terms| rows by construction — bounded driver pull
+    df_map = {r["term"]: float(r["df"]) for r in df_tbl.take_all()}
+    idf = {t: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for t, df in df_map.items()}
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        if batch.num_rows == 0:
+            return batch.append_column("bm25", pa.array([], pa.float64()))
+        tf = batch.column("tf").to_numpy().astype(np.float64)
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        iv = (pd.Series(batch.column("term").to_pandas())
+              .map(idf).to_numpy(dtype=np.float64))
+        # op tree mirrors the SQL oracle exactly (bit-reproducible)
+        s = np.round(iv * ((tf * (k1 + 1.0))
+                           / (tf + k1 * (1.0 - b + b * (dl / avgdl)))), 6)
+        return batch.append_column("bm25", pa.array(s, pa.float64()))
+
+    scored = matched.map_batches(score, batch_format="pyarrow")
+    if not per_doc:
+        return scored
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch.column(id_col),
+                         "bm25": batch.column("bm25")})
+
+    agg = grouped_aggregate(
+        scored.map_batches(contrib, batch_format="pyarrow"),
+        keys=[id_col], specs=[("bm25", "sum")], rename={"bm25_sum": "bm25"})
+
+    def round6(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("bm25"), "bm25",
+            pc.round(batch.column("bm25"), 6))
+
+    return agg.map_batches(round6, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, k: int = 20, counters: int = 4096,
+                  text_col: str = "text", strategy: str = "auto",
+                  cand_broadcast_max: int = 20_000_000,
+                  cand_broadcast_max_bytes: int = 512 << 20):
+    """Exact top-k most frequent terms via the two-pass
+    sketch-candidates-then-recount pattern — the skewed-vocabulary move
+    at corpus scale.  A naive top-k shuffles the FULL vocabulary
+    (``term_counts`` + sort); this version exchanges only candidate
+    terms.
+
+    Pass 1 streams the corpus once and keeps, per batch, the terms
+    with batch count ≥ batch_tokens/``counters`` — the Misra–Gries
+    survival bound: by pigeonhole, any term with GLOBAL frequency
+    ≥ total_tokens/``counters`` clears that bar in at least one batch,
+    so the candidate union (≤ ``counters`` terms per batch) is a
+    superset of every possible top-k member whenever the k-th true
+    frequency ≥ N/``counters`` (pick ``counters`` ≫ N/freq_k; with the
+    default 4096 that is any term above 0.025% of tokens).  Small
+    batches degrade gracefully — the bar drops below 1 and the batch
+    contributes its whole (batch-bounded) vocabulary; the row+byte
+    gate then routes to the join path instead of a fat broadcast.
+
+    Pass 2 recounts ONLY the candidates exactly (per-batch aggregate →
+    worker-built broadcast set probe, or a bucketed semi-join above
+    the gate) and finishes with a candidate-bounded aggregate + top-k
+    sort.  Output: ``(term, freq)``, frequency-desc / term-asc."""
+    from ..functions.shuffle import grouped_aggregate
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        toks, _ = flat_tokens(batch.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string())})
+        vc = (pa.table({"term": toks})
+              .group_by("term").aggregate([("term", "count")]))
+        bar = len(toks) / counters
+        keep = pc.greater_equal(
+            pc.cast(vc.column("term_count"), pa.float64()), bar)
+        return pa.table({"term": vc.column("term").filter(keep)})
+
+    cands = grouped_aggregate(
+        ds.map_batches(survivors, batch_format="pyarrow"),
+        keys=["term"], specs=[("term", "count")]
+    ).select_columns(["term"]).materialize()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks, _ = flat_tokens(batch.column(text_col))
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = (pa.table({"term": toks})
+              .group_by("term").aggregate([("term", "count")]))
+        return pa.table({"term": vc.column("term"),
+                         "n": pc.cast(vc.column("term_count"), pa.int64())})
+
+    if strategy == "auto":
+        strategy = ("broadcast"
+                    if (cands.count() <= cand_broadcast_max
+                        and (cands.size_bytes() or 0)
+                        <= cand_broadcast_max_bytes)
+                    else "join")
+    if strategy == "broadcast":
+        from .dedup import _build_frozenset, _cached_get, _worker_side
+
+        ref = _worker_side(_build_frozenset, cands, "term")
+
+        def recount(batch: pa.Table) -> pa.Table:
+            t = partials(batch)
+            if t.num_rows == 0:
+                return t
+            cs = _cached_get(ref)
+            # probe per DISTINCT batch term (batch-vocab-bounded)
+            hit = np.fromiter((x in cs for x in
+                               t.column("term").to_pylist()),
+                              dtype=bool, count=t.num_rows)
+            return t.filter(pa.array(hit))
+
+        counted = grouped_aggregate(
+            ds.map_batches(recount, batch_format="pyarrow"),
+            keys=["term"], specs=[("n", "sum")], rename={"n_sum": "freq"})
+    else:
+        from ..functions.join import bucketed_hash_join
+
+        joined = bucketed_hash_join(
+            ds.map_batches(partials, batch_format="pyarrow"), cands,
+            left_on="term", right_on="term")
+        counted = grouped_aggregate(
+            joined, keys=["term"], specs=[("n", "sum")],
+            rename={"n_sum": "freq"})
+
+    return counted.sort(["freq", "term"],
+                        descending=[True, False]).limit(k)

@@ -525,3 +525,142 @@ def test_curate_corpus_write_and_manifest(ray_session, tmp_path):
     assert files
     man = json.load(open(os.path.join(out, "curate_manifest.json")))
     assert man["docs_kept"] == len(mem) and man["budget"] == 2048
+
+
+def test_bm25_per_doc_matches_bruteforce(ray_session):
+    """per_doc=True sums the per-term rows; both variants checked
+    against a from-scratch python BM25 on the sf0.001 corpus."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ice_ray.stages.textstats import bm25_scores
+
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    q = ["column", "join", "merge", "scan"]
+    docs = ray.data.read_parquet(sf, columns=["doc_id", "text"])
+
+    tbl = pq.read_table(sf, columns=["doc_id", "text"])
+    toks = {i: re.findall(r"[a-z]+", (t or "").lower())
+            for i, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist())}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    want = {}
+    for i, v in toks.items():
+        s = 0.0
+        for t in q:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(v) / avgdl)))
+        if s:
+            want[i] = s
+
+    got = bm25_scores(docs, q, per_doc=True).to_pandas()
+    assert set(got["doc_id"]) == set(want)
+    for _, r in got.iterrows():
+        assert abs(r["bm25"] - round(want[r["doc_id"]], 6)) < 1e-5
+
+    # per-term rows: tf/dl exact, one row per (doc, matched term)
+    rows = bm25_scores(docs, q).to_pandas()
+    assert len(rows) == sum(1 for v in toks.values() for t in q if t in v)
+    one = rows.iloc[0]
+    assert one["tf"] == toks[one["doc_id"]].count(one["term"])
+    assert one["dl"] == len(toks[one["doc_id"]])
+
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])
+
+
+def test_heavy_hitters_strategies_and_pruning(ray_session):
+    """Both candidate-attach strategies equal the exact full-vocabulary
+    top-k, and the pass-1 survival bar actually prunes: with a small
+    counter budget the candidate set must be far smaller than the
+    vocabulary while the top-k stays exact (the MG guarantee)."""
+    import ray.data
+
+    from ice_ray.functions.shuffle import grouped_aggregate
+    from ice_ray.stages.textstats import (flat_tokens, heavy_hitters,
+                                          term_count_partials)
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"])
+
+    # exact reference: full-vocab count (min_len=1, no stopword drop)
+    import pyarrow as pa
+
+    def full(batch):
+        toks, _ = flat_tokens(batch.column("text"))
+        vc = (pa.table({"term": toks})
+              .group_by("term").aggregate([("term", "count")]))
+        return pa.table({"term": vc.column("term"),
+                         "n": vc.column("term_count")})
+
+    vocab = grouped_aggregate(docs.map_batches(full, batch_format="pyarrow"),
+                              keys=["term"], specs=[("n", "sum")],
+                              rename={"n_sum": "freq"}).to_pandas()
+    want = (vocab.sort_values(["freq", "term"], ascending=[False, True])
+            .head(20).reset_index(drop=True))
+
+    outs = {}
+    for strat in ("broadcast", "join"):
+        got = heavy_hitters(docs, k=20, counters=64,
+                            strategy=strat).to_pandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"freq": "int64"}), want.astype({"freq": "int64"}))
+        outs[strat] = got
+
+    # pruning is real on a SKEWED vocabulary (the template corpus has
+    # only ~31 near-uniform terms, where nothing can prune): zipf docs
+    # with a 3000-term vocabulary, counters=64 → candidates must be a
+    # small fraction of the vocab while top-k stays exact
+    rng = np.random.default_rng(7)
+
+    def wname(i):   # letter-only ids ([a-z]+ tokenization keeps them whole)
+        s = ""
+        for _ in range(3):
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return "w" + s
+
+    words = [wname(i) for i in range(3000)]
+    z = rng.zipf(1.3, size=60_000)
+    z = z[z <= 3000]
+    texts = [" ".join(words[j - 1] for j in z[i:i + 120])
+             for i in range(0, len(z) - 120, 120)]
+    zdocs = ray.data.from_items([{"text": t} for t in texts],
+                                override_num_blocks=8)
+
+    zvocab = grouped_aggregate(
+        zdocs.map_batches(full, batch_format="pyarrow"),
+        keys=["term"], specs=[("n", "sum")],
+        rename={"n_sum": "freq"}).to_pandas()
+    # counters must satisfy freq_k ≥ N/counters for exact top-k: the
+    # zipf(1.3) 20th frequency is ~285 of ~55k tokens, so 512 counters
+    # (bar ~108) guarantee it — 64 would correctly return only the ~9
+    # terms above its bar (asserted below via the pruning check)
+    zwant = (zvocab.sort_values(["freq", "term"], ascending=[False, True])
+             .head(20).reset_index(drop=True))
+    zgot = (heavy_hitters(zdocs, k=20, counters=512, strategy="broadcast")
+            .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(zgot.astype({"freq": "int64"}),
+                                  zwant.astype({"freq": "int64"}))
+
+    def survivors_only(batch):
+        toks, _ = flat_tokens(batch.column("text"))
+        vc = (pa.table({"term": toks})
+              .group_by("term").aggregate([("term", "count")]))
+        import pyarrow.compute as pc
+        keep = pc.greater_equal(
+            pc.cast(vc.column("term_count"), pa.float64()),
+            len(toks) / 64)
+        return pa.table({"term": vc.column("term").filter(keep)})
+
+    n_cand = (zdocs.map_batches(survivors_only, batch_format="pyarrow")
+              .to_pandas()["term"].nunique())
+    assert n_cand < len(zvocab) / 4, (n_cand, len(zvocab))
