@@ -127,6 +127,30 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitters(_docs(sf_dir), k=20)
 
 
+def _q_event_band_join(sf_dir: str):
+    """Range (band) join — every ordered event pair ≤ 60s apart
+    (functions/join.py:band_join — tile-replicated bucketed exchange,
+    searchsorted slices per reduce group; no cross join, left ≤ 2×)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ice_ray.functions.join import band_join
+
+    ev = _events(sf_dir).map_batches(
+        lambda t: t.select(["event_id", "ts"]), batch_format="pyarrow")
+    joined = band_join(ev, ev, "ts", "ts",
+                       lower_us=1, upper_us=60_000_000)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(batch.column("ts_r"), pa.int64()),
+                          pc.cast(batch.column("ts"), pa.int64()))
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_id_r": batch.column("event_id_r"),
+                         "gap_us": gap})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL sketch distinct-count (mergeable-sketch aggregate pattern)."""
     import pandas as pd
@@ -683,6 +707,15 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_jaccard_neardup(sf_dir: str):
+    """EXACT word-8-gram Jaccard near-duplicate pairs at threshold 0.5
+    (stages/dedup.py:jaccard_neardup_pairs — gram-posting inverted
+    index, partial pair aggregation inside each reduce group, per-doc
+    sizes via the gated broadcast/bucketed-join kernel)."""
+    from ice_ray.stages.dedup import jaccard_neardup_pairs
+    return jaccard_neardup_pairs(_docs(sf_dir), n=8, threshold=0.5)
+
+
 def _q_curate_keep(sf_dir: str):
     """Flagship corpus-curation pipeline: quality filter → benchmark
     decontamination → corpus-scoped near-dup removal → sequence packing
@@ -842,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
         "cross_doc_ngrams": _q_cross_doc_ngrams,
+        "jaccard_neardup": _q_jaccard_neardup,
+        "event_band_join": _q_event_band_join,
         "pack_sequences": _q_pack_sequences,
         "token_percentiles": _q_token_percentiles,
         "doc_dedup_keep": _q_doc_dedup_keep,
@@ -1280,5 +1315,35 @@ def oracle_sql() -> dict[str, str]:
                    shared_grams::BIGINT AS shared_grams,
                    round(shared_grams::DOUBLE / n_grams, 6) AS shared_frac
             FROM per
+        """,
+        "jaccard_neardup": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(w, i, i + 7), ' ') AS g
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, greatest(len(w) - 7, 0))) AS i) t),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS ng
+                      FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                             count(*)::BIGINT AS i
+                      FROM grams a JOIN grams b USING (g)
+                      WHERE a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2,
+                   round(i::DOUBLE / (s1.ng + s2.ng - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON s1.doc_id = id1
+            JOIN sizes s2 ON s2.doc_id = id2
+            WHERE i::DOUBLE / (s1.ng + s2.ng - i) >= 0.5
+        """,
+        "event_band_join": """
+            SELECT l.event_id AS event_id, r.event_id AS event_id_r,
+                   (epoch_us(r.ts) - epoch_us(l.ts))::BIGINT AS gap_us
+            FROM events l JOIN events r
+              ON epoch_us(r.ts) BETWEEN epoch_us(l.ts) + 1
+                                    AND epoch_us(l.ts) + 60000000
         """,
     }

@@ -70,7 +70,8 @@ def _query_timings() -> dict[str, float]:
              "events_last_order", "doc_repetition", "decontaminate",
              "pii_scrub", "cross_doc_ngrams", "pack_sequences",
              "token_percentiles", "doc_dedup_keep", "lm_score",
-             "curate_keep", "bm25", "heavy_hitters"]
+             "curate_keep", "bm25", "heavy_hitters",
+             "jaccard_neardup", "event_band_join"]
     qs = em.queries()
     for name in picks:
         t0 = time.time()

@@ -369,6 +369,141 @@ def _asof_broadcast(left, right, on, left_ts, right_ts, suffix,
     return left.map_batches(merge_map, batch_format="pandas")
 
 
+def band_join(left, right, left_ts: str, right_ts: str,
+              lower_us: int, upper_us: int,
+              num_buckets: int | None = None, suffix: str = "_r"):
+    """Range (band) join — no equality key: every (L, R) pair with
+    ``R[right_ts] ∈ [L[left_ts] + lower_us, L[left_ts] + upper_us]``
+    (both ends inclusive, microsecond integers; timestamps cast to
+    epoch-µs int64).  Ray Data has no native inequality join and a
+    cross-join + filter is quadratic; the classic distributed band
+    algorithm instead tiles time into windows of width
+    ``W = upper_us - lower_us``:
+
+    - each RIGHT row lands in exactly one tile ``floor(s / W)``;
+    - each LEFT row's match interval ``[t+lower, t+upper]`` spans at
+      most two adjacent tiles, so the left is replicated ≤ 2×;
+    - tiles hash into ``num_buckets`` reduce groups; within a group the
+      right side is sorted by timestamp once and each left copy takes a
+      ``searchsorted`` slice of its CLIPPED interval (the part inside
+      its own tile), so no pair is emitted twice and work is
+      O(n log n + output).
+
+    Partitioning assumption: rows spread across many tiles — a corpus
+    where most timestamps share one W-window collapses into one reduce
+    group (time-skew analog of a hot join key).  Equality+range
+    predicates should instead compose ``bucketed_hash_join`` + a
+    vectorized range filter; this operator is for the pure-band case.
+    Right columns colliding with left names get ``suffix``."""
+    import numpy as np
+    import pandas as pd
+
+    if upper_us < lower_us:
+        raise ValueError(f"empty band: [{lower_us}, {upper_us}]")
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+    span = int(upper_us) - int(lower_us)
+    W = max(span, 1)
+
+    lschema, rschema = left.schema(), right.schema()
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    rename_r = {n: (n + suffix if n in lnames else n) for n in rnames}
+    out_cols = lnames + [rename_r[n] for n in rnames]
+    all_fields = list(zip(lschema.names, lschema.types)) + \
+        [(rename_r[n], t) for n, t in zip(rnames, rschema.types)]
+    out_schema = pa.schema(all_fields)
+
+    def _epoch_us(col) -> "np.ndarray":
+        return pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols, names = [], []
+            for n, t in all_fields:
+                names.append(n)
+                if side == "L" and n in lnames:
+                    cols.append(pc.cast(batch.column(n), t))
+                elif side == "R" and n in rename_r.values():
+                    src = [k for k, v in rename_r.items() if v == n][0]
+                    cols.append(pc.cast(batch.column(src), t))
+                else:
+                    cols.append(pa.nulls(batch.num_rows, t))
+            out = pa.table(dict(zip(names, cols)))
+            if side == "L":
+                u = _epoch_us(batch.column(left_ts)) + lower_us
+                tb0 = np.floor_divide(u, W)
+                out = pa.concat_tables([out, out])
+                tb = np.concatenate([tb0, tb0 + 1])
+            else:
+                s = _epoch_us(batch.column(right_ts))
+                tb = np.floor_divide(s, W)
+            b = pa.array((pd.util.hash_array(tb)
+                          % num_buckets).astype("int32"), pa.int32())
+            return (out.append_column("_tb", pa.array(tb, pa.int64()))
+                       .append_column("_bucket", b)
+                       .append_column("_side",
+                                      pa.array([side] * out.num_rows)))
+        return fn
+
+    tagged = (left.map_batches(tag("L"), batch_format="pyarrow")
+              .union(right.map_batches(tag("R"), batch_format="pyarrow")))
+
+    rts_out = rename_r[right_ts]
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t.column("_side")
+        l = t.filter(pc.equal(side, "L"))
+        r = t.filter(pc.equal(side, "R"))
+        if l.num_rows == 0 or r.num_rows == 0:
+            return out_schema.empty_table()
+        s = pc.cast(r.column(rts_out), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(s, kind="stable")
+        s = s[order]
+        r = r.select(list(rename_r.values())).take(pa.array(order))
+        u = pc.cast(l.column(left_ts), pa.int64()).to_numpy(
+            zero_copy_only=False) + lower_us
+        tb = l.column("_tb").to_numpy(zero_copy_only=False)
+        # interval clipped to this copy's own tile — adjacent-tile rows
+        # that hash into the same reduce group can never double-match
+        a = np.maximum(u, tb * W)
+        b = np.minimum(u + span, (tb + 1) * W - 1)
+        ok = a <= b
+        lo = np.searchsorted(s, a[ok], side="left")
+        hi = np.searchsorted(s, b[ok] + 1, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        lidx = np.flatnonzero(ok).repeat(counts)
+        ridx = (np.repeat(lo, counts)
+                + np.arange(total)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        lt = l.select(lnames).take(pa.array(lidx))
+        rt = r.take(pa.array(ridx))
+        return pa.Table.from_arrays(
+            [lt.column(n) for n in lnames]
+            + [rt.column(c) for c in rename_r.values()], schema=out_schema)
+
+    def coerce(t: pa.Table) -> pa.Table:
+        # empty groups lose the schema; restore
+        if t.num_rows == 0 or set(t.column_names) != set(out_cols):
+            return out_schema.empty_table()
+        cols = [pc.cast(t.column(n), out_schema.field(n).type)
+                for n in out_cols]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    import ray.data
+
+    joined = (tagged.groupby("_bucket")
+              .map_groups(merge, batch_format="pyarrow")
+              .map_batches(coerce, batch_format="pyarrow"))
+    # zero-row typed seed: Ray drops all-empty block schemas, so a
+    # no-match band would otherwise return schema()=None
+    return joined.union(ray.data.from_arrow(out_schema.empty_table()))
+
+
 def attach_background_counts(fg, bg, key: str, count_col: str,
                              out_col: str = "bg_count",
                              strategy: str = "auto",

@@ -1153,6 +1153,125 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
     return counted.map_batches(finish, batch_format="pyarrow")
 
 
+def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          num_buckets: int | None = None):
+    """EXACT word n-gram Jaccard near-duplicate pairs — the verify-grade
+    member of the dedup family (MinHash+LSH estimates this; SimHash
+    approximates Hamming-projected cosine): every unordered doc pair
+    whose distinct-n-gram Jaccard similarity meets ``threshold``, with
+    the exact score.
+
+    Shape: distinct (doc, gram) rows explode map-side (the shared
+    :func:`_gram_rows_vec` kernel), each CARRYING its doc's distinct-gram
+    count ``ng`` — a doc is one input row, so the count is final inside
+    the producing batch and the union denominator needs no per-doc
+    aggregate, no join, and nothing on the driver.  A bucketed gram
+    exchange emits co-occurring (id1 < id2, ng1, ng2) pair rows per
+    gram, partially aggregated inside the reduce group; a pair aggregate
+    sums intersection counts (ng carried by ``min`` — constant per doc).
+    Two exchanges total.
+
+    Cost model: a gram shared by m docs costs C(m, 2) pair rows — the
+    inherent price of exactness.  Word 8-grams co-occur essentially only
+    between near-duplicates, so posting lists stay tiny on natural text;
+    boilerplate-heavy corpora (license headers shared by 10^6 docs)
+    must use :func:`minhash_neardup_pairs` as the recall/scale path and
+    reserve this operator for verifying its candidates.
+
+    Docs with fewer than ``n`` words emit no grams and cannot pair
+    (mirrored by the SQL oracle).  The threshold compares the UNROUNDED
+    ratio; the output ``jaccard`` is rounded to 6 places (both oracle
+    conventions, NOTES item 40a)."""
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import (default_num_buckets, grouped_aggregate,
+                                     hash_mod)
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        rows, grams = _gram_rows_vec(batch, n, text_col)
+        ids = pc.cast(batch.column(id_col), pa.int64()) \
+            .take(pa.array(rows, pa.int64()))
+        ng = (np.bincount(rows, minlength=batch.num_rows)[rows]
+              if len(rows) else np.array([], np.int64))
+        t = pa.table({"_id": ids, "gram": grams,
+                      "ng": pa.array(ng, pa.int64())})
+        return t.append_column(
+            "_bucket", hash_mod(t.column("gram"), num_buckets))
+
+    doc_grams = docs.map_batches(gram_rows, batch_format="pyarrow")
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        # rows within the bucket, sorted by (gram, id) → runs are
+        # posting lists with ascending ids; only runs of length ≥ 2
+        # produce pairs.  Vectorized by grouping runs of EQUAL length
+        # (posting lists are tiny on natural text, so only a handful of
+        # distinct lengths exist) — no per-gram Python loop.
+        empty = pa.table({"id1": pa.array([], pa.int64()),
+                          "id2": pa.array([], pa.int64()),
+                          "inter": pa.array([], pa.int64()),
+                          "ng1": pa.array([], pa.int64()),
+                          "ng2": pa.array([], pa.int64())})
+        t = t.sort_by([("gram", "ascending"), ("_id", "ascending")])
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        ids = t.column("_id").to_numpy(zero_copy_only=False)
+        ngs = t.column("ng").to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return empty
+        bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        lens = np.diff(np.concatenate((starts, [len(g)])))
+        keep = lens >= 2
+        starts, lens = starts[keep], lens[keep]
+        a_parts, b_parts = [], []
+        for m in np.unique(lens):
+            runs = starts[lens == m]            # (R,) run offsets
+            i1, i2 = np.triu_indices(int(m), 1)  # (P,) in-run pairs
+            a_parts.append((runs[:, None] + i1[None, :]).ravel())
+            b_parts.append((runs[:, None] + i2[None, :]).ravel())
+        if not a_parts:
+            return empty
+        ai = np.concatenate(a_parts)
+        bi = np.concatenate(b_parts)
+        pairs = pa.table({
+            "id1": pa.array(ids[ai], pa.int64()),
+            "id2": pa.array(ids[bi], pa.int64()),
+            "ng1": pa.array(ngs[ai], pa.int64()),
+            "ng2": pa.array(ngs[bi], pa.int64())})
+        # partial aggregate inside the reduce group: one row per pair
+        # per bucket leaves here, not one per shared gram
+        part = pairs.group_by(["id1", "id2"]).aggregate(
+            [("id1", "count"), ("ng1", "min"), ("ng2", "min")])
+        return part.rename_columns(["id1", "id2", "inter", "ng1", "ng2"])
+
+    inter = grouped_aggregate(
+        doc_grams.groupby("_bucket")
+        .map_groups(emit_pairs, batch_format="pyarrow"),
+        keys=["id1", "id2"],
+        specs=[("inter", "sum"), ("ng1", "min"), ("ng2", "min")],
+        num_buckets=num_buckets,
+        rename={"inter_sum": "inter", "ng1_min": "ng1", "ng2_min": "ng2"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = pc.cast(batch.column("inter"), pa.float64())
+        union = pc.subtract(
+            pc.add(pc.cast(batch.column("ng1"), pa.float64()),
+                   pc.cast(batch.column("ng2"), pa.float64())), i)
+        j = pc.divide(i, union)
+        keep = pc.greater_equal(j, threshold)   # unrounded compare
+        out = pa.table({"id1": batch.column("id1"),
+                        "id2": batch.column("id2"),
+                        "jaccard": pc.round(j, 6)})
+        return out.filter(keep)
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
 def anti_semi_join(docs, ids_ds, id_col: str = "doc_id",
                    broadcast_max_rows: int = 50_000_000,
                    broadcast_max_bytes: int = 512 << 20):

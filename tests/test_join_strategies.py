@@ -193,3 +193,66 @@ def test_detect_salt_materialized_spread_sample(ray_session):
     bal = ray.data.from_arrow(pa.table(
         {"k": pa.array(np.arange(8000, dtype=np.int64) % 997)})).materialize()
     assert detect_salt(bal, "k", num_buckets=16) == 1
+
+
+def test_band_join_vs_brute_force(ray_session):
+    """Adversarial timestamps: clusters straddling tile boundaries
+    (multiples of W), exact band-edge gaps, and duplicate timestamps —
+    every (L, R) pair within [lower, upper] appears exactly once."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import band_join
+
+    lower, upper = 1, 100
+    W = upper - lower
+    rng = np.random.default_rng(7)
+    # points piled around tile boundaries k*W, plus exact-edge gaps
+    base = np.concatenate([
+        rng.integers(0, 12 * W, 300),
+        np.repeat(np.arange(1, 8) * W, 5) + rng.integers(-2, 3, 35),
+        [0, lower, upper, W, W + lower, W + upper, 5 * W, 5 * W],
+    ]).astype(np.int64)
+    left = pa.table({"lid": pa.array(np.arange(len(base)), pa.int64()),
+                     "ts": pa.array(base, pa.timestamp("us"))})
+    rts = np.concatenate([base + 1, base + upper, base - 3]).astype(np.int64)
+    right = pa.table({"rid": pa.array(np.arange(len(rts)), pa.int64()),
+                      "ts": pa.array(rts, pa.timestamp("us"))})
+
+    out = band_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    "ts", "ts", lower_us=lower, upper_us=upper,
+                    num_buckets=5).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+
+    exp = [(int(l), int(r))
+           for l, t in enumerate(base)
+           for r, s in enumerate(rts)
+           if t + lower <= s <= t + upper]
+    assert got == sorted(exp)
+    # suffix applied to the colliding right column
+    assert "ts_r" in out.columns
+
+
+def test_band_join_bucket_invariance_and_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import band_join
+
+    ts = np.array([0, 10, 20, 10_000, 20_000], np.int64)
+    t = pa.table({"id": pa.array(np.arange(5), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+    a = band_join(ds, ds, "ts", "ts", 1, 50, num_buckets=1).to_pandas()
+    b = band_join(ds, ds, "ts", "ts", 1, 50, num_buckets=13).to_pandas()
+    key = ["id", "id_r"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[sorted(a.columns)],
+        b.sort_values(key).reset_index(drop=True)[sorted(b.columns)])
+    assert sorted(zip(a["id"], a["id_r"])) == [(0, 1), (0, 2), (1, 2)]
+
+    # band with no matches → typed empty result, schema intact
+    e = band_join(ds, ds, "ts", "ts", 1_000_000, 2_000_000, num_buckets=3)
+    assert e.count() == 0
+    assert set(e.schema().names) == {"id", "ts", "id_r", "ts_r"}

@@ -664,3 +664,49 @@ def test_heavy_hitters_strategies_and_pruning(ray_session):
     n_cand = (zdocs.map_batches(survivors_only, batch_format="pyarrow")
               .to_pandas()["term"].nunique())
     assert n_cand < len(zvocab) / 4, (n_cand, len(zvocab))
+
+
+def test_jaccard_neardup_exact_values(ray_session):
+    """Hand-computed gram sets: doc1 has grams {g1..g4}, doc2 {g1..g3,x}
+    (J = 3/5 = 0.6), doc3 shares nothing, doc4 is sub-n and must be
+    absent; threshold boundary J == t is KEPT (>=)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.dedup import jaccard_neardup_pairs
+
+    w = [f"w{i}" for i in range(11)]          # w0..w10 → 4 distinct 8-grams
+    d1 = " ".join(w)
+    d2 = " ".join(w[:10] + ["zz"])            # grams 1-3 shared, last differs
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([d1, d2,
+                          "a b c d e f g h i j k",   # disjoint grams
+                          "too short"], pa.string()),
+    }))
+    out = jaccard_neardup_pairs(docs, n=8, threshold=0.6).to_pandas()
+    assert sorted(zip(out["id1"], out["id2"])) == [(1, 2)]
+    assert abs(out["jaccard"].iloc[0] - 0.6) < 1e-9
+
+    # raising t above the boundary drops the pair
+    none = jaccard_neardup_pairs(docs, n=8, threshold=0.61).to_pandas()
+    assert len(none) == 0
+
+
+def test_jaccard_neardup_bucket_invariance(ray_session):
+    """Pair set and exact scores are invariant to the shuffle width —
+    the posting-list runs must stay intact under any gram→bucket map."""
+    import ray.data
+    from ice_ray.stages.dedup import jaccard_neardup_pairs
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def canon(ds):
+        df = ds.to_pandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+        return df[sorted(df.columns)]
+
+    a = canon(jaccard_neardup_pairs(docs, threshold=0.3, num_buckets=1))
+    b = canon(jaccard_neardup_pairs(docs, threshold=0.3, num_buckets=17))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
