@@ -1155,7 +1155,8 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
 
 def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
                           text_col: str = "text", id_col: str = "doc_id",
-                          num_buckets: int | None = None):
+                          num_buckets: int | None = None,
+                          max_posting: int = 100_000):
     """EXACT word n-gram Jaccard near-duplicate pairs — the verify-grade
     member of the dedup family (MinHash+LSH estimates this; SimHash
     approximates Hamming-projected cosine): every unordered doc pair
@@ -1182,7 +1183,12 @@ def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
     Docs with fewer than ``n`` words emit no grams and cannot pair
     (mirrored by the SQL oracle).  The threshold compares the UNROUNDED
     ratio; the output ``jaccard`` is rounded to 6 places (both oracle
-    conventions, NOTES item 40a)."""
+    conventions, NOTES item 40a).
+
+    ``max_posting`` is a loud guard, not a silent cap: a posting list
+    longer than it (a boilerplate gram) raises instead of emitting
+    C(m, 2) rows — truncation would break the operator's exactness
+    contract, so the failure names the gram and points at MinHash."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import (default_num_buckets, grouped_aggregate,
@@ -1226,6 +1232,13 @@ def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
         bounds = np.flatnonzero(g[1:] != g[:-1]) + 1
         starts = np.concatenate(([0], bounds))
         lens = np.diff(np.concatenate((starts, [len(g)])))
+        if lens.max() > max_posting:
+            hot = g[starts[int(lens.argmax())]]
+            raise ValueError(
+                f"gram shared by {int(lens.max())} docs (> max_posting="
+                f"{max_posting}): {hot[:80]!r} — exact Jaccard is "
+                "quadratic per posting list; use minhash_neardup_pairs "
+                "for boilerplate-heavy corpora or raise max_posting")
         keep = lens >= 2
         starts, lens = starts[keep], lens[keep]
         a_parts, b_parts = [], []

@@ -710,3 +710,27 @@ def test_jaccard_neardup_bucket_invariance(ray_session):
     b = canon(jaccard_neardup_pairs(docs, threshold=0.3, num_buckets=17))
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_jaccard_neardup_hot_gram_guard(ray_session):
+    """A boilerplate gram shared by more docs than max_posting must
+    fail LOUDLY (naming the gram) instead of emitting C(m,2) pairs."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from ice_ray.stages.dedup import jaccard_neardup_pairs
+
+    boiler = "lic0 lic1 lic2 lic3 lic4 lic5 lic6 lic7"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([f"{boiler} tail{i}" for i in range(6)],
+                         pa.string()),
+    }))
+    with pytest.raises(Exception, match="max_posting"):
+        jaccard_neardup_pairs(docs, n=8, threshold=0.1,
+                              max_posting=4).to_pandas()
+    # same corpus under the guard still works
+    out = jaccard_neardup_pairs(docs, n=8, threshold=0.1,
+                                max_posting=6).to_pandas()
+    assert len(out) == 15  # C(6,2) — every doc shares the boiler gram
