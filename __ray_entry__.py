@@ -133,11 +133,12 @@ def _q_event_band_join(sf_dir: str):
     searchsorted slices per reduce group; no cross join, left ≤ 2×)."""
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray.data
 
     from ice_ray.functions.join import band_join
 
-    ev = _events(sf_dir).map_batches(
-        lambda t: t.select(["event_id", "ts"]), batch_format="pyarrow")
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts"])
     joined = band_join(ev, ev, "ts", "ts",
                        lower_us=1, upper_us=60_000_000)
 
