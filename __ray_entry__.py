@@ -711,8 +711,9 @@ def _q_cross_doc_ngrams(sf_dir: str):
 def _q_jaccard_neardup(sf_dir: str):
     """EXACT word-8-gram Jaccard near-duplicate pairs at threshold 0.5
     (stages/dedup.py:jaccard_neardup_pairs — gram-posting inverted
-    index, partial pair aggregation inside each reduce group, per-doc
-    sizes via the gated broadcast/bucketed-join kernel)."""
+    index with per-doc gram counts carried map-side on the gram rows,
+    partial pair aggregation inside each reduce group; two exchanges,
+    no joins, nothing corpus-shaped on the driver)."""
     from ice_ray.stages.dedup import jaccard_neardup_pairs
     return jaccard_neardup_pairs(_docs(sf_dir), n=8, threshold=0.5)
 

@@ -109,6 +109,37 @@ def _resolve_salt(salt, ds, key, num_buckets):
     return int(salt)
 
 
+def _salted_shard(out: pa.Table, b, side: str, salt: int):
+    """Shared salt step of every union-tagged join: left rows shard
+    round-robin into ``salt`` sub-buckets of their hash bucket, right
+    rows replicate into all of them (so a hot left key splits into
+    ``salt`` bounded reduce groups).  No-op at salt 1."""
+    if salt <= 1:
+        return out, b
+    import numpy as np
+
+    base = pc.multiply(b, salt)
+    if side == "L":
+        shard = pa.array((np.arange(out.num_rows) % salt).astype("int32"))
+        return out, pc.add(base, shard)
+    reps, bs = [], []
+    for s in range(salt):
+        reps.append(out)
+        bs.append(pc.add(base, s))
+    out = pa.concat_tables(reps)
+    b = pa.concat_arrays([x.combine_chunks()
+                          if isinstance(x, pa.ChunkedArray) else x
+                          for x in bs])
+    return out, b
+
+
+def _finish_tag(out: pa.Table, b, side: str) -> pa.Table:
+    """Append the ``_bucket``/``_side`` metadata every union-tagged
+    join's reduce groups split on."""
+    return (out.append_column("_bucket", pc.cast(b, pa.int32()))
+               .append_column("_side", pa.array([side] * out.num_rows)))
+
+
 def bucketed_hash_join(left, right, left_on: str, right_on: str,
                        how: str = "inner", num_buckets: int | None = None,
                        salt: int | str = 1):
@@ -150,7 +181,6 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
 
     def add_meta(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
-            import numpy as np
             b = hash_mod(batch.column(key), num_buckets)
             cols, names = [], []
             for n, t in all_fields:
@@ -160,26 +190,8 @@ def bucketed_hash_join(left, right, left_on: str, right_on: str,
                 else:
                     cols.append(pa.nulls(batch.num_rows, t))
             out = pa.table(dict(zip(names, cols)))
-            if salt > 1:
-                base = pc.multiply(b, salt)
-                if side == "L":
-                    # deterministic round-robin shard per left row
-                    shard = pa.array(
-                        (np.arange(batch.num_rows) % salt).astype("int32"))
-                    b = pc.add(base, shard)
-                else:
-                    # replicate right rows into every shard
-                    reps, bs = [], []
-                    for s in range(salt):
-                        reps.append(out)
-                        bs.append(pc.add(base, s))
-                    out = pa.concat_tables(reps)
-                    b = pa.concat_arrays([x.combine_chunks()
-                                          if isinstance(x, pa.ChunkedArray)
-                                          else x for x in bs])
-            return (out.append_column("_bucket", pc.cast(b, pa.int32()))
-                       .append_column("_side",
-                                      pa.array([side] * out.num_rows)))
+            out, b = _salted_shard(out, b, side, salt)
+            return _finish_tag(out, b, side)
         return fn
 
     tagged = (left.map_batches(add_meta("L", left_on), batch_format="pyarrow")
@@ -274,25 +286,8 @@ def asof_join(left, right, on: str, left_ts: str, right_ts: str,
                     cols.append(pa.nulls(batch.num_rows, t))
             out = pa.table(dict(zip(names, cols)))
             b = hash_mod(batch.column(on), num_buckets)
-            if salt > 1:
-                import numpy as np
-                base = pc.multiply(b, salt)
-                if side == "L":
-                    shard = pa.array(
-                        (np.arange(batch.num_rows) % salt).astype("int32"))
-                    b = pc.add(base, shard)
-                else:
-                    reps, bs = [], []
-                    for s in range(salt):
-                        reps.append(out)
-                        bs.append(pc.add(base, s))
-                    out = pa.concat_tables(reps)
-                    b = pa.concat_arrays([x.combine_chunks()
-                                          if isinstance(x, pa.ChunkedArray)
-                                          else x for x in bs])
-            return (out.append_column("_bucket", pc.cast(b, pa.int32()))
-                       .append_column("_side",
-                                      pa.array([side] * out.num_rows)))
+            out, b = _salted_shard(out, b, side, salt)
+            return _finish_tag(out, b, side)
         return fn
 
     tagged = (left.map_batches(tag("L"), batch_format="pyarrow")
@@ -394,7 +389,15 @@ def band_join(left, right, left_ts: str, right_ts: str,
     group (time-skew analog of a hot join key).  Equality+range
     predicates should instead compose ``bucketed_hash_join`` + a
     vectorized range filter; this operator is for the pure-band case.
-    Right columns colliding with left names get ``suffix``."""
+    Right columns colliding with left names get ``suffix``.
+
+    The result carries a zero-row typed seed block so a no-match band
+    still reports its schema (Ray drops all-empty-block schemas,
+    NOTES item 44).  Ray skips UDFs on empty blocks, so a consumer
+    that re-shapes columns inherits the seed as a 0-column empty block
+    (harmless to row-level results, logged by Ray as a schema-unify
+    warning) — re-seed after the last schema-changing step if the
+    downstream pipeline needs the typed-empty contract too."""
     import numpy as np
     import pandas as pd
 
@@ -440,10 +443,8 @@ def band_join(left, right, left_ts: str, right_ts: str,
                 tb = np.floor_divide(s, W)
             b = pa.array((pd.util.hash_array(tb)
                           % num_buckets).astype("int32"), pa.int32())
-            return (out.append_column("_tb", pa.array(tb, pa.int64()))
-                       .append_column("_bucket", b)
-                       .append_column("_side",
-                                      pa.array([side] * out.num_rows)))
+            out = out.append_column("_tb", pa.array(tb, pa.int64()))
+            return _finish_tag(out, b, side)
         return fn
 
     tagged = (left.map_batches(tag("L"), batch_format="pyarrow")

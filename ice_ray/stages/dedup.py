@@ -1156,7 +1156,7 @@ def cross_doc_ngram_stats(docs, n: int = 8, text_col: str = "text",
 def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
                           text_col: str = "text", id_col: str = "doc_id",
                           num_buckets: int | None = None,
-                          max_posting: int = 100_000):
+                          max_posting: int = 5_000):
     """EXACT word n-gram Jaccard near-duplicate pairs — the verify-grade
     member of the dedup family (MinHash+LSH estimates this; SimHash
     approximates Hamming-projected cosine): every unordered doc pair
@@ -1188,7 +1188,12 @@ def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
     ``max_posting`` is a loud guard, not a silent cap: a posting list
     longer than it (a boilerplate gram) raises instead of emitting
     C(m, 2) rows — truncation would break the operator's exactness
-    contract, so the failure names the gram and points at MinHash."""
+    contract, so the failure names the gram and points at MinHash.
+    The default bounds one run's pair block at C(5000, 2) ≈ 12.5M rows
+    (~400 MB) — small enough that the ValueError fires before the
+    allocation would OOM the reduce task; a second guard bounds the
+    SUM of pair rows across all runs in one reduce group (many
+    medium-hot grams), which the per-run cap alone would miss."""
     import pyarrow.compute as pc
 
     from ..functions.shuffle import (default_num_buckets, grouped_aggregate,
@@ -1239,6 +1244,12 @@ def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
                 f"{max_posting}): {hot[:80]!r} — exact Jaccard is "
                 "quadratic per posting list; use minhash_neardup_pairs "
                 "for boilerplate-heavy corpora or raise max_posting")
+        total_pairs = int((lens * (lens - 1) // 2).sum())
+        if total_pairs > max_posting * (max_posting - 1) // 2:
+            raise ValueError(
+                f"{total_pairs} co-occurrence pairs in one reduce group "
+                "(many medium-hot grams) — boilerplate-heavy corpus; use "
+                "minhash_neardup_pairs or raise max_posting")
         keep = lens >= 2
         starts, lens = starts[keep], lens[keep]
         a_parts, b_parts = [], []
