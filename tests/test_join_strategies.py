@@ -256,3 +256,31 @@ def test_band_join_bucket_invariance_and_empty(ray_session):
     e = band_join(ds, ds, "ts", "ts", 1_000_000, 2_000_000, num_buckets=3)
     assert e.count() == 0
     assert set(e.schema().names) == {"id", "ts", "id_r", "ts_r"}
+
+
+def test_band_join_negative_and_degenerate_bands(ray_session):
+    """Bands straddling zero (lower < 0 < upper, self-pairs included),
+    pure-negative bands (matches strictly BEFORE the left row), and the
+    degenerate exact-gap band (lower == upper, W collapses to 1) all
+    equal brute force."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ice_ray.functions.join import band_join
+
+    rng = np.random.default_rng(11)
+    ts = np.unique(rng.integers(0, 2_000, 120)).astype(np.int64)
+    t = pa.table({"id": pa.array(np.arange(len(ts)), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+
+    for lower, upper in [(-50, 50), (-100, -1), (25, 25), (0, 0)]:
+        out = band_join(ds, ds, "ts", "ts", lower, upper,
+                        num_buckets=7).to_pandas()
+        got = sorted(zip(out["id"], out["id_r"]))
+        exp = sorted((int(i), int(j))
+                     for i, a in enumerate(ts) for j, b in enumerate(ts)
+                     if a + lower <= b <= a + upper)
+        assert got == exp, f"band [{lower}, {upper}]"
+    # (0, 0) / (-50, 50) include each row matching its own right copy
+    assert (0, 0) in exp
