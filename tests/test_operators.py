@@ -734,3 +734,24 @@ def test_jaccard_neardup_hot_gram_guard(ray_session):
     out = jaccard_neardup_pairs(docs, n=8, threshold=0.1,
                                 max_posting=6).to_pandas()
     assert len(out) == 15  # C(6,2) — every doc shares the boiler gram
+
+
+def test_jaccard_neardup_pair_sum_guard(ray_session):
+    """Many medium runs must trip the per-group pair-SUM guard even when
+    no single posting list exceeds max_posting: two identical 11-word
+    docs share four 8-grams (runs of length 2, 4 pairs total) — over the
+    C(3,2)=3 cap at max_posting=3."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from ice_ray.stages.dedup import jaccard_neardup_pairs
+
+    text = " ".join(f"w{i}" for i in range(11))
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([text, text], pa.string()),
+    }))
+    with pytest.raises(Exception, match="co-occurrence pairs"):
+        jaccard_neardup_pairs(docs, n=8, threshold=0.5, num_buckets=1,
+                              max_posting=3).to_pandas()
