@@ -708,6 +708,19 @@ def _q_cross_doc_ngrams(sf_dir: str):
                       "shared_frac")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-source quota sample, 10 docs/source
+    (stages/windows.py:stratified_sample — md5-rank grouped_topk;
+    exchange bounded to N·groups·batches rows, corpus never shuffles)."""
+    import ray.data
+
+    from ice_ray.stages.windows import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return stratified_sample(docs, group_col="source", n_per_group=10)
+
+
 def _q_jaccard_neardup(sf_dir: str):
     """EXACT word-8-gram Jaccard near-duplicate pairs at threshold 0.5
     (stages/dedup.py:jaccard_neardup_pairs — gram-posting inverted
@@ -879,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_ngrams": _q_cross_doc_ngrams,
         "jaccard_neardup": _q_jaccard_neardup,
         "event_band_join": _q_event_band_join,
+        "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "token_percentiles": _q_token_percentiles,
         "doc_dedup_keep": _q_doc_dedup_keep,
@@ -1347,5 +1361,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events l JOIN events r
               ON epoch_us(r.ts) BETWEEN epoch_us(l.ts) + 1
                                     AND epoch_us(l.ts) + 60000000
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rk <= 10
         """,
     }

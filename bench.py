@@ -71,7 +71,7 @@ def _query_timings() -> dict[str, float]:
              "pii_scrub", "cross_doc_ngrams", "pack_sequences",
              "token_percentiles", "doc_dedup_keep", "lm_score",
              "curate_keep", "bm25", "heavy_hitters",
-             "jaccard_neardup", "event_band_join"]
+             "jaccard_neardup", "event_band_join", "stratified_sample"]
     qs = em.queries()
     for name in picks:
         t0 = time.time()

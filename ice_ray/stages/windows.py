@@ -132,6 +132,37 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int,
     return partial.groupby(group_col).map_groups(take, batch_format="pandas")
 
 
+def stratified_sample(docs, group_col: str = "source",
+                      n_per_group: int = 10, id_col: str = "doc_id"):
+    """Deterministic per-group quota sample — the domain-balancing cap
+    of a web-scale training mix (keep at most N docs per source/domain
+    so no crawl host dominates the corpus).  The rank key is
+    ``md5(str(id))`` — uniform, reproducible across runs and engines,
+    and exactly expressible in SQL (``row_number() OVER (PARTITION BY
+    source ORDER BY md5(doc_id::VARCHAR), doc_id)``), so the sample is
+    auditable rather than RNG-dependent.
+
+    Shape: a composition over :func:`grouped_topk` — per-batch partial
+    top-N per group bounds the exchange to ≤ N·groups·batches rows; the
+    corpus itself never shuffles.  Group count is domain-bounded (≪
+    corpus); a single hot group costs only its own N·batches partials.
+    md5 per row is 16-byte-input hashing on the id column only — cheap
+    relative to any text kernel (same judgment as exact_dedup's key)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def key(batch: pa.Table) -> pa.Table:
+        hk = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in batch.column(id_col).to_pylist()]
+        return batch.append_column("_hk", pa.array(hk, pa.string()))
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    out = grouped_topk(keyed, group_col, "_hk", n_per_group,
+                       tie_col=id_col, descending=False)
+    return out.drop_columns(["_hk"])
+
+
 def top_users_by_value(events, k: int = 10):
     """Top-k users by Σvalue, deterministic tie-break on user_id."""
     from ..functions.shuffle import grouped_aggregate

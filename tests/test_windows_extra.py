@@ -37,3 +37,33 @@ def test_sliding_counts(ray_session):
             if grid <= r["ts"] < grid + dt.timedelta(minutes=60):
                 expect[grid] += 1
     assert got == {(t, n) for t, n in expect.items()}
+
+
+def test_stratified_sample_quota_and_layout_invariance(ray_session):
+    """Exactly min(N, group size) rows per group, deterministic (same
+    ids on re-run), and invariant to input block layout (the partial
+    top-N must never drop a global winner)."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.windows import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "source": pa.array([f"s{i % 3}" for i in range(60)], pa.string()),
+    })
+    one = ray.data.from_arrow(t)
+    # same rows split into 6 blocks of 10
+    import ray as _ray
+    many = ray.data.from_arrow_refs(
+        [_ray.put(t.slice(i * 10, 10)) for i in range(6)])
+
+    a = stratified_sample(one, n_per_group=7).to_pandas()
+    b = stratified_sample(many, n_per_group=7).to_pandas()
+    assert a.groupby("source").size().eq(7).all()
+    key = ["source", "doc_id"]
+    assert (a.sort_values(key).reset_index(drop=True)[key]
+            .equals(b.sort_values(key).reset_index(drop=True)[key]))
+    # quota above group size → whole group kept
+    full = stratified_sample(one, n_per_group=100).to_pandas()
+    assert len(full) == 60
