@@ -1248,8 +1248,10 @@ def jaccard_neardup_pairs(docs, n: int = 8, threshold: float = 0.5,
         if total_pairs > max_posting * (max_posting - 1) // 2:
             raise ValueError(
                 f"{total_pairs} co-occurrence pairs in one reduce group "
-                "(many medium-hot grams) — boilerplate-heavy corpus; use "
-                "minhash_neardup_pairs or raise max_posting")
+                "(many medium-hot grams; group size scales with "
+                "1/num_buckets) — raise num_buckets to spread the grams, "
+                "use minhash_neardup_pairs for boilerplate-heavy corpora, "
+                "or raise max_posting")
         keep = lens >= 2
         starts, lens = starts[keep], lens[keep]
         a_parts, b_parts = [], []

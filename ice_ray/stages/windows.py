@@ -153,7 +153,10 @@ def stratified_sample(docs, group_col: str = "source",
     import pyarrow as pa
 
     def key(batch: pa.Table) -> pa.Table:
+        # null ids rank LAST ("~" > every md5 hex char), mirroring the
+        # SQL oracle's ASC NULLS LAST ordering of md5(NULL)
         hk = [hashlib.md5(str(i).encode()).hexdigest()
+              if i is not None else "~"
               for i in batch.column(id_col).to_pylist()]
         return batch.append_column("_hk", pa.array(hk, pa.string()))
 

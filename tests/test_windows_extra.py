@@ -67,3 +67,24 @@ def test_stratified_sample_quota_and_layout_invariance(ray_session):
     # quota above group size → whole group kept
     full = stratified_sample(one, n_per_group=100).to_pandas()
     assert len(full) == 60
+
+
+def test_stratified_sample_null_ids_rank_last(ray_session):
+    """Null ids must sort AFTER every hashed id (SQL ASC NULLS LAST
+    parity) — a null never displaces a real doc from the quota."""
+    import pyarrow as pa
+
+    import ray.data
+    from ice_ray.stages.windows import stratified_sample
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, None], pa.int64()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    })
+    out = stratified_sample(ray.data.from_arrow(t),
+                            n_per_group=3).to_pandas()
+    assert len(out) == 3 and not out["doc_id"].isna().any()
+    # quota 4 admits the null row, still last
+    all4 = stratified_sample(ray.data.from_arrow(t),
+                             n_per_group=4).to_pandas()
+    assert len(all4) == 4
